@@ -1,0 +1,182 @@
+"""Ray-tracing tests: interpolation accuracy, analytic ray baselines,
+Hamiltonian conservation in steady flow, ensemble resampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from juliaraytracingsw_tpu.core.grid import make_grid
+from juliaraytracingsw_tpu.core.spectral import rfft2
+from juliaraytracingsw_tpu.rays import interp
+from juliaraytracingsw_tpu.rays.dispersion import group_velocity, omega
+from juliaraytracingsw_tpu.rays.packets import Packets, lattice_packets
+from juliaraytracingsw_tpu.rays.raytrace import (
+    RayParams,
+    fields_from_psih,
+    raytrace,
+    sample_velocity,
+)
+from juliaraytracingsw_tpu.rays.resample import (
+    init_birth_death,
+    k_cutoff_reset,
+    weibull_birth_death,
+)
+
+
+def band_limited_psih(grid, rng, kband=(2, 5), amp=0.05):
+    K = np.sqrt(np.asarray(grid.Krsq))
+    mask = (K >= kband[0]) & (K <= kband[1])
+    phase = rng.uniform(0, 2 * np.pi, K.shape)
+    psih = mask * np.exp(1j * phase)
+    psi = np.fft.irfft2(psih, s=(grid.ny, grid.nx))
+    psi *= amp / max(np.abs(psi).max(), 1e-30)
+    return rfft2(jnp.asarray(psi, jnp.float32))
+
+
+class TestInterp:
+    def test_bilinear_exact_at_nodes(self, rng):
+        g = make_grid(16)
+        f = rng.standard_normal((2, 16, 16)).astype(np.float32)
+        xq = np.asarray(g.x)[np.array([0, 3, 15])]
+        yq = np.asarray(g.y)[np.array([5, 0, 15])]
+        out = interp.bilinear(
+            jnp.asarray(f), jnp.asarray(xq), jnp.asarray(yq), float(g.x[0]),
+            float(g.y[0]), g.dx, g.dy
+        )
+        expect = f[:, [5, 0, 15], [0, 3, 15]]
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+    def test_bilinear_periodic_wrap(self, rng):
+        g = make_grid(8)
+        f = rng.standard_normal((1, 8, 8)).astype(np.float32)
+        # query one full period away
+        x = float(g.x[2])
+        out1 = interp.bilinear(jnp.asarray(f), jnp.asarray([x]), jnp.asarray([float(g.y[3])]),
+                               float(g.x[0]), float(g.y[0]), g.dx, g.dy)
+        out2 = interp.bilinear(jnp.asarray(f), jnp.asarray([x + g.Lx]), jnp.asarray([float(g.y[3]) - g.Ly]),
+                               float(g.x[0]), float(g.y[0]), g.dx, g.dy)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_bspline_spectral_accuracy(self, rng):
+        """Prefiltered periodic cubic B-spline on a band-limited field is far
+        more accurate than bilinear at off-grid points."""
+        g = make_grid(64)
+        X, Y = np.meshgrid(np.asarray(g.x), np.asarray(g.y))
+        f = np.sin(3 * X + 1.0) * np.cos(2 * Y - 0.5)
+        fh = rfft2(jnp.asarray(f[None], jnp.float32))
+        coeff = jnp.fft.irfft2(
+            fh * interp.bspline_prefilter_mask(g), s=(g.ny, g.nx), axes=(-2, -1)
+        )
+        xq = rng.uniform(-np.pi, np.pi, 200).astype(np.float32)
+        yq = rng.uniform(-np.pi, np.pi, 200).astype(np.float32)
+        exact = np.sin(3 * xq + 1.0) * np.cos(2 * yq - 0.5)
+        out = interp.bspline(coeff, jnp.asarray(xq), jnp.asarray(yq),
+                             float(g.x[0]), float(g.y[0]), g.dx, g.dy)
+        err_bspline = np.abs(np.asarray(out)[0] - exact).max()
+        out_bl = interp.bilinear(jnp.asarray(f[None], jnp.float32), jnp.asarray(xq),
+                                 jnp.asarray(yq), float(g.x[0]), float(g.y[0]), g.dx, g.dy)
+        err_bl = np.abs(np.asarray(out_bl)[0] - exact).max()
+        assert err_bspline < 5e-4
+        assert err_bspline < err_bl / 10
+
+    def test_bicubic_hermite_matches_function(self, rng):
+        g = make_grid(64)
+        X, Y = np.meshgrid(np.asarray(g.x), np.asarray(g.y))
+        f = np.cos(2 * X) * np.sin(3 * Y)
+        fx = -2 * np.sin(2 * X) * np.sin(3 * Y)
+        fy = 3 * np.cos(2 * X) * np.cos(3 * Y)
+        fxy = -6 * np.sin(2 * X) * np.cos(3 * Y)
+        xq = rng.uniform(-np.pi, np.pi, 100).astype(np.float32)
+        yq = rng.uniform(-np.pi, np.pi, 100).astype(np.float32)
+        out = interp.bicubic_hermite(
+            *(jnp.asarray(a[None], jnp.float32) for a in (f, fx, fy, fxy)),
+            jnp.asarray(xq), jnp.asarray(yq),
+            float(g.x[0]), float(g.y[0]), g.dx, g.dy,
+        )
+        exact = np.cos(2 * xq) * np.sin(3 * yq)
+        assert np.abs(np.asarray(out)[0] - exact).max() < 2e-4
+
+
+class TestRays:
+    def test_free_propagation_zero_flow(self):
+        g = make_grid(32)
+        rp = RayParams(f=1.0, Cg=2.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                       dx=g.dx, dy=g.dy)
+        zero = jnp.zeros((5, g.ny, g.nx), jnp.float32)
+        p = Packets(
+            x=jnp.asarray([0.1]), y=jnp.asarray([-0.2]),
+            k=jnp.asarray([2.0]), l=jnp.asarray([1.0]), sign=jnp.asarray([1.0]),
+        )
+        t1 = 0.5
+        out = raytrace(p, zero, zero, 0.0, t1, rp, nsubsteps=8)
+        cgx, cgy = group_velocity(2.0, 1.0, 1.0, 2.0, 1.0)
+        np.testing.assert_allclose(float(out.x[0]), 0.1 + float(cgx) * t1, rtol=1e-5)
+        np.testing.assert_allclose(float(out.y[0]), -0.2 + float(cgy) * t1, rtol=1e-5)
+        np.testing.assert_allclose(float(out.k[0]), 2.0, rtol=1e-6)
+
+    def test_negative_branch_moves_opposite(self):
+        g = make_grid(32)
+        rp = RayParams(f=1.0, Cg=2.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                       dx=g.dx, dy=g.dy)
+        zero = jnp.zeros((5, g.ny, g.nx), jnp.float32)
+        p = Packets(jnp.zeros(2), jnp.zeros(2), jnp.full(2, 2.0), jnp.zeros(2),
+                    jnp.asarray([1.0, -1.0]))
+        out = raytrace(p, zero, zero, 0.0, 0.3, rp, nsubsteps=4)
+        assert float(out.x[0]) > 0 and float(out.x[1]) < 0
+        np.testing.assert_allclose(float(out.x[0]), -float(out.x[1]), rtol=1e-5)
+
+    @pytest.mark.parametrize("method", ["rk4", "dopri5", "midpoint"])
+    def test_hamiltonian_conservation_steady_flow(self, rng, method):
+        """Steady flow: Omega = omega(k) + k.u(x) is conserved along rays."""
+        g = make_grid(64)
+        psih = band_limited_psih(g, rng, amp=0.02)
+        rp = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                       dx=g.dx, dy=g.dy, interp="bspline")
+        fields = fields_from_psih(psih, g, interp="bspline")
+        p = lattice_packets(4, g.Lx, g.Ly, k0=6.0)
+
+        def Omega(pk):
+            u, v = sample_velocity(pk, fields, rp)
+            return omega(pk.k, pk.l, rp.f, rp.Cg, pk.sign) + pk.k * u + pk.l * v
+
+        O0 = np.asarray(Omega(p))
+        out = raytrace(p, fields, fields, 0.0, 5.0, rp, nsubsteps=200, method=method)
+        O1 = np.asarray(Omega(out))
+        drift = np.abs(O1 - O0) / np.abs(O0)
+        assert np.isfinite(np.asarray(out.k)).all()
+        assert drift.max() < 2e-3, drift.max()
+
+    def test_time_blend_convention(self):
+        """At a=0 rays see the OLD field; at a=1 the NEW field (regression
+        pin for the reference's inverted alpha, GPURaytracing.jl:33)."""
+        from juliaraytracingsw_tpu.rays.raytrace import blend
+
+        old = jnp.full((5, 4, 4), 2.0)
+        new = jnp.full((5, 4, 4), -3.0)
+        np.testing.assert_allclose(np.asarray(blend(old, new, 0.0)), 2.0)
+        np.testing.assert_allclose(np.asarray(blend(old, new, 1.0)), -3.0)
+        np.testing.assert_allclose(np.asarray(blend(old, new, 0.25)), 0.75)
+
+
+class TestResample:
+    def test_k_cutoff_reset(self):
+        p = Packets(jnp.zeros(3), jnp.zeros(3),
+                    jnp.asarray([1.0, 10.0, 3.0]), jnp.asarray([0.0, 10.0, 4.0]),
+                    jnp.ones(3))
+        out = k_cutoff_reset(p, k_cutoff=5.0, k0=2.0)
+        np.testing.assert_allclose(np.asarray(out.k), [1.0, 2.0, 2.0])
+        np.testing.assert_allclose(np.asarray(out.l), [0.0, 0.0, 0.0])
+
+    def test_birth_death_cycle(self):
+        key = jax.random.PRNGKey(0)
+        p = lattice_packets(4, 2 * np.pi, 2 * np.pi, k0=5.0)
+        st = init_birth_death(key, p.n, k_shape=1.5, lam=1.0)
+        total_born = 0
+        for _ in range(50):
+            p, st, born = weibull_birth_death(
+                p, st, dt=0.1, Lx=2 * np.pi, Ly=2 * np.pi, k0=5.0, lam=1.0
+            )
+            total_born += int(jnp.sum(born))
+        assert total_born > 0
+        # reborn packets stay inside the domain
+        assert float(jnp.max(jnp.abs(p.x))) <= np.pi + 1e-5
