@@ -1,0 +1,47 @@
+"""Bit-exact checkpoint/resume of coupled simulations.
+
+Saves the FULL integration state — spectral solution, stepper AB3 history
+(N_{-1}, N_{-2}), packet ensemble, clock and RNG key — so a resumed run
+continues the exact trajectory. This fixes the reference's restart
+discontinuity, where snapshots double as checkpoints but the AB3 history is
+lost and the stepper re-bootstraps with forward-Euler steps
+(SURVEY.md §5.4; utils/IFMAB3.jl:130).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def _flatten_with_paths(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_checkpoint(path: str, state_tree) -> None:
+    """Serialize an arbitrary pytree of arrays to one .npz file."""
+    leaves, treedef = _flatten_with_paths(state_tree)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, like_tree):
+    """Restore into the structure of ``like_tree`` (shapes/dtypes validated)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like_tree)
+    out = []
+    for i, ref in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        ref_arr = np.asarray(ref)
+        if arr.shape != ref_arr.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != expected {ref_arr.shape}"
+            )
+        out.append(jnp.asarray(arr.astype(ref_arr.dtype)))
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -35,17 +35,20 @@ def lattice_packets(
     Ly: float,
     k0: float,
     alternate_sign: bool = True,
+    k_ring: bool = False,
     dtype=jnp.float32,
     x0: float | None = None,
     y0: float | None = None,
 ) -> Packets:
-    """Uniform lattice of packets with initial wavenumber (k0, 0) and
-    alternating +/- frequency branches.
+    """Uniform lattice of packets with |k| = k0 and alternating +/- branches.
 
     Mirrors the reference's ``generate_initial_wavepackets``
-    (raytracing/RaytracingDriver.jl:27-47, raytracing/GPUTwoLayerRaytracing.jl:10-27):
-    packets on a sqrtN x sqrtN lattice spanning the domain, all with
-    |k| = k0 pointing in +x, signs alternating along the lattice.
+    (raytracing/RaytracingDriver.jl:27-47): packets on a sqrtN x sqrtN
+    lattice spanning the domain; with ``k_ring`` the wavevector of packet j
+    points at phase 2*pi*j/N around the ring of radius k0 (:41-42),
+    otherwise all packets start with k = (k0, 0)
+    (raytracing/GPUTwoLayerRaytracing.jl:10-27). Frequency signs alternate
+    packet-by-packet (:45).
     """
     n = sqrt_npackets
     x0 = -Lx / 2.0 if x0 is None else x0
@@ -53,17 +56,24 @@ def lattice_packets(
     xs = x0 + (np.arange(n) + 0.5) * (Lx / n)
     ys = y0 + (np.arange(n) + 0.5) * (Ly / n)
     X, Y = np.meshgrid(xs, ys, indexing="xy")
-    if alternate_sign:
-        S = np.where((np.add.outer(np.arange(n), np.arange(n)) % 2) == 0, 1.0, -1.0)
-    else:
-        S = np.ones((n, n))
     N = n * n
+    if alternate_sign:
+        S = np.where(np.arange(N) % 2 == 0, -1.0, 1.0)
+    else:
+        S = np.ones((N,))
+    if k_ring:
+        phase = 2.0 * np.pi * np.arange(1, N + 1) / N
+        kx = k0 * np.cos(phase)
+        ky = k0 * np.sin(phase)
+    else:
+        kx = np.full((N,), k0)
+        ky = np.zeros((N,))
     return Packets(
         x=jnp.asarray(X.reshape(N), dtype),
         y=jnp.asarray(Y.reshape(N), dtype),
-        k=jnp.full((N,), k0, dtype),
-        l=jnp.zeros((N,), dtype),
-        sign=jnp.asarray(S.reshape(N), dtype),
+        k=jnp.asarray(kx, dtype),
+        l=jnp.asarray(ky, dtype),
+        sign=jnp.asarray(S, dtype),
     )
 
 
