@@ -1,0 +1,168 @@
+"""Single-chip benchmark on the flagship configuration.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: rays/s/chip on the hero config — 512^2 RSW turbulence
+coupled to a 1M-packet WKB ray ensemble (BASELINE.md: "512^2 RSW + 1M
+coupled ray packets"). The reference publishes no numbers
+(BASELINE.json "published": {}), so the baseline is self-established:
+vs_baseline is measured against the recorded round-1 value in
+BENCH_SELF.json (1.0 on the first run, ratio afterwards).
+
+Extra metrics (flow-only steps/s at 512^2 and 1024^2, fwd+bwd step time)
+go to stderr and BENCH_SELF.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SELF_BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BENCH_SELF.json")
+
+
+def _timeit(fn, *args, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    # first compiles on the tunneled TPU backend are minutes-slow; persist them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from juliaraytracingsw_tpu.core.grid import make_grid
+    from juliaraytracingsw_tpu.core.steppers import zero_clock
+    from juliaraytracingsw_tpu.coupled.driver import derive_nu, make_coupled_frame, SimState
+    from juliaraytracingsw_tpu.coupled.initial_conditions import band_geo_wave_ic
+    from juliaraytracingsw_tpu.models import rsw
+    from juliaraytracingsw_tpu.models.base import build_stepper, run
+    from juliaraytracingsw_tpu.rays.packets import lattice_packets
+    from juliaraytracingsw_tpu.rays.raytrace import RayParams, fields_from_psih
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    f, Cg, dt = 3.0, 1.0, 1e-3
+    results = {}
+
+    # --- flow-only spectral steps/s at 512^2 and 1024^2 ---------------------
+    for nx in (512, 1024):
+        grid = make_grid(nx)
+        model = rsw.make_model(grid, nu=derive_nu(1.0, nx, 4, dt), nnu=4,
+                               f=f, Cg=Cg)
+        init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+        rng = np.random.default_rng(1)
+        sol = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
+                               aw=0.05, f=f, Cg=Cg)
+        state = init_fn(sol)
+        clock = zero_clock()
+        steps_per_call = 20
+
+        @jax.jit
+        def chunk(sol, clock, state):
+            return run(step_fn, sol, clock, state, steps_per_call)
+
+        t = _timeit(chunk, sol, clock, state)
+        results[f"rsw{nx}_flow_steps_per_s"] = steps_per_call / t
+        print(f"# rsw {nx}^2 flow: {steps_per_call / t:.1f} steps/s",
+              file=sys.stderr)
+
+    # --- hero: 512^2 RSW + 1M packets coupled ------------------------------
+    nx, sqrtp = 512, 1024   # 1,048,576 packets
+    grid = make_grid(nx)
+    model = rsw.make_model(grid, nu=derive_nu(1.0, nx, 4, dt), nnu=4,
+                           f=f, Cg=Cg)
+    init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+    params = model.params
+
+    def psih_fn(sol):
+        Kd2 = params.f**2 / params.Cg2
+        qh = grid.ik * sol[1] - grid.il * sol[0] - params.f * sol[2]
+        return -qh / (grid.Krsq + Kd2)
+
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy)
+    rng = np.random.default_rng(1)
+    sol = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
+                           aw=0.05, f=f, Cg=Cg)
+    packets = lattice_packets(sqrtp, grid.Lx, grid.Ly,
+                              k0=float(np.sqrt(3.0) * f / Cg), k_ring=True)
+    flow_steps = 5
+    ray_substeps = 1
+    frame = make_coupled_frame(model, step_fn, psih_fn, rp, flow_steps,
+                               ray_substeps=ray_substeps,
+                               k_cutoff=100.0 * f / Cg,
+                               k0=float(np.sqrt(3.0) * f / Cg))
+    fields0 = fields_from_psih(psih_fn(sol), grid, rp.interp)
+    sim = SimState(sol, zero_clock(), init_fn(sol), packets, fields0)
+
+    t = _timeit(frame, sim, warmup=2, iters=3)
+    npackets = sqrtp * sqrtp
+    rays_per_s = npackets * ray_substeps * flow_steps / t
+    results["hero_rays_per_s_per_chip"] = rays_per_s
+    results["hero_coupled_frame_s"] = t
+    results["hero_coupled_steps_per_s"] = flow_steps / t
+    print(f"# hero 512^2 + 1M packets: {rays_per_s:.3e} ray-steps/s, "
+          f"{flow_steps / t:.2f} coupled steps/s", file=sys.stderr)
+
+    # --- fwd+bwd step time (differentiable hero step) ----------------------
+    @jax.jit
+    def grad_step(sol, pkts):
+        def loss(s):
+            fields_old = fields_from_psih(psih_fn(s), grid, rp.interp)
+            s1, c1, st1 = step_fn(s, zero_clock(), init_fn(s))
+            fields_new = fields_from_psih(psih_fn(s1), grid, rp.interp)
+            from juliaraytracingsw_tpu.rays.raytrace import raytrace
+
+            out = raytrace(pkts, fields_old, fields_new, 0.0, dt, rp,
+                           nsubsteps=1)
+            return jnp.mean(out.k**2 + out.l**2)
+
+        return jax.value_and_grad(loss)(sol)
+
+    t = _timeit(grad_step, sol, packets, warmup=1, iters=3)
+    results["hero_fwd_bwd_step_s"] = t
+    print(f"# hero fwd+bwd step: {t * 1e3:.1f} ms", file=sys.stderr)
+
+    # --- self-baseline ratio ------------------------------------------------
+    vs = 1.0
+    if os.path.exists(SELF_BASELINE_PATH):
+        try:
+            with open(SELF_BASELINE_PATH) as fh:
+                base = json.load(fh)
+            ref = base.get("hero_rays_per_s_per_chip")
+            if ref:
+                vs = rays_per_s / ref
+        except Exception:
+            pass
+    else:
+        with open(SELF_BASELINE_PATH, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    print(json.dumps({
+        "metric": "rays/s/chip (1M packets, 512^2 RSW coupled)",
+        "value": rays_per_s,
+        "unit": "ray-steps/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

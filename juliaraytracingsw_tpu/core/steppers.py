@@ -96,7 +96,9 @@ def expm_tables(L, dt: float):
     """
     import scipy.linalg
 
-    Lnp = np.asarray(L)
+    from .transfer import to_host
+
+    Lnp = to_host(L)
     if Lnp.ndim >= 2 and Lnp.shape[0] == Lnp.shape[1] and Lnp.ndim >= 4:
         # block (C, C, nl, nkr) -> (nl, nkr, C, C) for batched expm
         perm = tuple(range(2, Lnp.ndim)) + (0, 1)
@@ -110,8 +112,9 @@ def expm_tables(L, dt: float):
         Ld = Lnp.astype(np.complex128)
         e1 = np.exp(Ld * dt)
         e2 = np.exp(Ld * 2.0 * dt)
-    cdtype = np.complex64 if np.asarray(L).dtype != np.complex128 else np.complex128
-    return jnp.asarray(e1.astype(cdtype)), jnp.asarray(e2.astype(cdtype))
+    cdtype = np.complex64 if Lnp.dtype != np.complex128 else np.complex128
+    from .transfer import to_device
+    return to_device(e1, cdtype), to_device(e2, cdtype)
 
 
 def _as_filter(filt, dtype=jnp.float32):
@@ -148,7 +151,9 @@ def make_ifab3(
     filt = _as_filter(filt)
 
     def init(sol0: jax.Array) -> AB3State:
-        z = jnp.zeros_like(sol0)
+        # sol0 * 0 instead of zeros_like: eager complex-constant transfers
+        # are unimplemented on this TPU runtime (core/transfer.py)
+        z = sol0 * 0
         return AB3State(z, z)
 
     def step(sol, clock: Clock, state: AB3State):
@@ -270,7 +275,8 @@ def make_etdrk4(
         ):
             a = a.real
         if np.iscomplexobj(a):
-            return jnp.asarray(a.astype(np.complex128 if double else np.complex64))
+            from .transfer import to_device
+            return to_device(a, np.complex128 if double else np.complex64)
         return jnp.asarray(a.astype(np.float64 if double else np.float32))
 
     E, E2, Q, f1, f2, f3 = map(cvt, (E, E2, Q, f1, f2, f3))
@@ -314,7 +320,9 @@ def make_filtered_ab3(
         return apply_L(L, sol) + calcN(sol, t)
 
     def init(sol0):
-        z = jnp.zeros_like(sol0)
+        # sol0 * 0 instead of zeros_like: eager complex-constant transfers
+        # are unimplemented on this TPU runtime (core/transfer.py)
+        z = sol0 * 0
         return AB3State(z, z)
 
     def step(sol, clock: Clock, state: AB3State):

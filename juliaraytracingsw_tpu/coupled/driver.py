@@ -249,8 +249,10 @@ class CoupledDriver:
             self._write_packet_frame()
             if self.snapshot_writer is not None and i % snapshot_every == 0:
                 step = int(self.sim.clock.step)
+                from ..core.transfer import to_host
+
                 self.snapshot_writer.write_frame(
-                    step, sol=np.asarray(self.sim.sol),
+                    step, sol=to_host(self.sim.sol),
                 )
                 self.snapshot_writer.write(
                     f"snapshots/t/{step}", float(self.sim.clock.t)

@@ -81,11 +81,10 @@ def band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=1.5, aw=0.1,
     vwh = np.where(wave_mask, wave_amp * (sgn * ell * om * shift - 1j * f * kr * shift), 0.0)
     uwh, vwh, etawh = normalise(uwh, vwh, etawh, aw)
 
-    sol = jnp.stack([
-        jnp.asarray((ugh + uwh).astype(np.complex64)),
-        jnp.asarray((vgh + vwh).astype(np.complex64)),
-        jnp.asarray((etagh + etawh).astype(np.complex64)),
-    ])
+    from ..core.transfer import to_device
+    sol = to_device(
+        np.stack([ugh + uwh, vgh + vwh, etagh + etawh]), np.complex64
+    )
     # purge conjugate-symmetry violations from the random phases
     # (the reference calls enforce_reality_condition! after set_solution!)
     return enforce_reality(sol, grid)
@@ -132,11 +131,8 @@ def front_ic(grid, rng, n_waves=10, aw=0.1, f=3.0, Cg=1.0):
     uw = np.fft.irfft2(uwh, s=(grid.ny, grid.nx))
     vw = np.fft.irfft2(vwh, s=(grid.ny, grid.nx))
     s = aw / max(np.sqrt(uw**2 + vw**2).max(), 1e-30)
-    sol = jnp.stack([
-        jnp.asarray((uwh * s).astype(np.complex64)),
-        jnp.asarray((vwh * s).astype(np.complex64)),
-        jnp.asarray((etawh * s).astype(np.complex64)),
-    ])
+    from ..core.transfer import to_device
+    sol = to_device(np.stack([uwh * s, vwh * s, etawh * s]), np.complex64)
     return enforce_reality(sol, grid)
 
 
@@ -151,4 +147,5 @@ def upsample_snapshot(snapshot, new_grid):
     out = np.zeros((C, new_grid.nl, new_grid.nkr), snap.dtype)
     out[:, :half, :nkr_s] = scale * snap[:, :half, :]
     out[:, -(nl_s - half):, :nkr_s] = scale * snap[:, half:, :]
-    return jnp.asarray(out)
+    from ..core.transfer import to_device
+    return to_device(out)

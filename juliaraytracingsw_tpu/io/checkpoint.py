@@ -23,8 +23,10 @@ def _flatten_with_paths(tree):
 
 def save_checkpoint(path: str, state_tree) -> None:
     """Serialize an arbitrary pytree of arrays to one .npz file."""
+    from ..core.transfer import to_host
+
     leaves, treedef = _flatten_with_paths(state_tree)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays = {f"leaf_{i}": to_host(leaf) for i, leaf in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8
     )
@@ -43,5 +45,7 @@ def load_checkpoint(path: str, like_tree):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected {ref_arr.shape}"
             )
-        out.append(jnp.asarray(arr.astype(ref_arr.dtype)))
+        from ..core.transfer import to_device
+
+        out.append(to_device(arr.astype(ref_arr.dtype)))
     return jax.tree_util.tree_unflatten(treedef, out)

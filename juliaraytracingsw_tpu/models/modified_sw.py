@@ -33,7 +33,8 @@ def build_L_modified(grid, params: RSWParams, decouple_eta: bool = False):
         L[2, 0] = -1j * kr * np.ones_like(ell)
         L[2, 1] = -1j * ell * np.ones_like(kr)
     L[2, 2] = D
-    return jnp.asarray(L.astype(np.complex64))
+    from ..core.transfer import to_device
+    return to_device(L, np.complex64)
 
 
 def _modified_N(solh, grid, pressure_of_eta, flux_var: str):

@@ -1,0 +1,89 @@
+"""Slab-decomposed distributed 2-D real FFT over a device mesh.
+
+For grids too large to replicate (1024^2+, multi-host), the physical field
+is sharded in y-slabs: each chip holds (C, ny/P, nx). The transform is
+
+    local rfft over x  ->  all_to_all transpose over ICI  ->  local fft over y
+
+yielding a spectrum sharded in kr-columns (C, nl, nkr/P); the inverse
+reverses the pipeline. This is the TPU-native replacement for the
+reference's single-GPU cuFFT plans (SURVEY.md §2.6 item 7: "XLA FFT +
+distributed slab transpose over ICI"); XLA lowers ``lax.all_to_all`` to ICI
+collective-permutes.
+
+The odd rfft length (nkr = nx//2 + 1) is zero-padded to a multiple of the
+mesh size before the transpose and cropped after.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["slab_rfft2", "slab_irfft2", "slab_sharding_physical",
+           "slab_sharding_spectral"]
+
+
+def slab_sharding_physical(mesh: Mesh, axis: str = "packets") -> NamedSharding:
+    """(C, ny, nx) sharded in y-slabs."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def slab_sharding_spectral(mesh: Mesh, axis: str = "packets") -> NamedSharding:
+    """(C, nl, nkr_pad) sharded in kr-columns."""
+    return NamedSharding(mesh, P(None, None, axis))
+
+
+def _pad_to(x, size, ax):
+    pad = size - x.shape[ax]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[ax] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def slab_rfft2(field, mesh: Mesh, axis: str = "packets"):
+    """field (C, ny, nx) y-slab-sharded -> spectrum (C, nl, nkr_pad)
+    kr-column-sharded (zero-padded last axis; crop with [..., :nkr])."""
+    nproc = mesh.shape[axis]
+    C, ny, nx = field.shape
+    nkr = nx // 2 + 1
+    nkr_pad = ((nkr + nproc - 1) // nproc) * nproc
+
+    def local_tiled(f):  # (C, ny/P, nx)
+        fh = jnp.fft.rfft(f, axis=-1)
+        fh = _pad_to(fh, nkr_pad, -1)                      # (C, ny/P, nkr_pad)
+        # tiled all_to_all: split last axis into P parts, concat along y
+        fh = jax.lax.all_to_all(fh, axis, split_axis=2, concat_axis=1,
+                                tiled=True)                # (C, ny, nkr_pad/P)
+        return jnp.fft.fft(fh, axis=-2)                    # (C, nl, nkr_pad/P)
+
+    out = jax.shard_map(
+        local_tiled, mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(None, None, axis),
+    )(field)
+    return out
+
+
+def slab_irfft2(spech, nx: int, mesh: Mesh, axis: str = "packets"):
+    """Inverse of slab_rfft2: (C, nl, nkr_pad) kr-sharded ->
+    (C, ny, nx) y-slab-sharded."""
+    nkr = nx // 2 + 1
+
+    def local(fh):  # (C, nl, nkr_pad/P)
+        f = jnp.fft.ifft(fh, axis=-2)                      # undo y transform
+        f = jax.lax.all_to_all(f, axis, split_axis=1, concat_axis=2,
+                               tiled=True)                 # (C, nl/P, nkr_pad)
+        f = f[..., :nkr]
+        return jnp.fft.irfft(f, n=nx, axis=-1)             # (C, ny/P, nx)
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, None, axis),
+        out_specs=P(None, axis, None),
+    )(spech)
+    return out
