@@ -72,23 +72,90 @@ def radial_bins(grid, resolution_factor: int = 2):
     return np.arange(1, num + 1) / resolution_factor * dk
 
 
+def _doubling(grid):
+    dbl = np.ones(grid.nkr)
+    dbl[1:] = 2.0
+    if grid.nx % 2 == 0:
+        dbl[-1] = 1.0
+    return dbl
+
+
+def _native_lib():
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "lib",
+        "libradial_weights.so",
+    )
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.radial_weights_sparse.restype = ctypes.c_int64
+    return lib
+
+
 def radial_weights(grid, resolution_factor: int = 2):
-    """(radii, weights) with weights shape (R, nl, nkr) including the
-    conjugate doubling for 0 < kr < Nyquist (ExactRadialSpectrum.jl:13-14)."""
+    """(radii, W) with W a scipy.sparse CSR matrix of shape (R, nl*nkr)
+    including conjugate doubling (ExactRadialSpectrum.jl:13-14).
+
+    Uses the native C++ builder (native/radial_weights.cpp) when built —
+    required for 1024^2+ where a dense (R, nl, nkr) tensor would be GBs —
+    with a vectorised numpy fallback producing identical weights.
+    """
+    import scipy.sparse as sp
+
     radii = radial_bins(grid, resolution_factor)
-    dbl = np.ones((1, grid.nkr))
-    dbl[0, 1:-1] = 2.0 if grid.nx % 2 == 0 else 2.0
-    if grid.nx % 2 != 0:
-        dbl[0, -1] = 2.0
+    dbl = _doubling(grid)
+    ncell = grid.nl * grid.nkr
+
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        kr = np.ascontiguousarray(np.asarray(grid.kr, np.float64))
+        labs = np.ascontiguousarray(np.abs(np.asarray(grid.l, np.float64)))
+        rads = np.ascontiguousarray(radii.astype(np.float64))
+        cap = ncell * 8
+        obin = np.empty(cap, np.int32)
+        ocell = np.empty(cap, np.int64)
+        ow = np.empty(cap, np.float64)
+        ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        dblc = np.ascontiguousarray(dbl)
+        n = lib.radial_weights_sparse(
+            ctypes.c_int32(grid.nl), ctypes.c_int32(grid.nkr),
+            ptr(kr, ctypes.c_double), ptr(labs, ctypes.c_double),
+            ptr(dblc, ctypes.c_double),
+            ctypes.c_int32(len(rads)), ptr(rads, ctypes.c_double),
+            ctypes.c_int64(cap),
+            ptr(obin, ctypes.c_int32), ptr(ocell, ctypes.c_int64),
+            ptr(ow, ctypes.c_double),
+        )
+        if n >= 0:
+            W = sp.coo_matrix(
+                (ow[:n], (obin[:n], ocell[:n])),
+                shape=(len(radii), ncell),
+            ).tocsr()
+            return radii, W
+
+    # numpy fallback: stream per-radius dense masks into sparse rows
     prev = np.zeros((grid.nl, grid.nkr))
-    out = np.empty((len(radii), grid.nl, grid.nkr), np.float32)
+    rows, cols, vals = [], [], []
     for i, r in enumerate(radii):
-        w = _disk_weights(grid, r) * dbl
-        out[i] = (w - prev).astype(np.float32)
+        w = _disk_weights(grid, r) * dbl[None, :]
+        diff = w - prev
+        iy, ix = np.nonzero(diff > 1e-14)
+        rows.append(np.full(len(iy), i))
+        cols.append(iy * grid.nkr + ix)
+        vals.append(diff[iy, ix])
         prev = w
-    return radii, out
+    W = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(len(radii), ncell),
+    ).tocsr()
+    return radii, W
 
 
 def radial_spectrum(data, weights):
     """data (nl, nkr) real (e.g. |uh|^2) -> (R,) binned spectrum."""
-    return np.einsum("rij,ij->r", weights, np.asarray(data, np.float64))
+    return np.asarray(weights @ np.asarray(data, np.float64).ravel())

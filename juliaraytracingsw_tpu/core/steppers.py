@@ -113,8 +113,11 @@ def expm_tables(L, dt: float):
         e1 = np.exp(Ld * dt)
         e2 = np.exp(Ld * 2.0 * dt)
     cdtype = np.complex64 if Lnp.dtype != np.complex128 else np.complex128
-    from .transfer import to_device
-    return to_device(e1, cdtype), to_device(e2, cdtype)
+    # NOTE: return HOST numpy arrays. Closed-over numpy constants embed into
+    # jitted executables without a device transfer; device-resident complex
+    # closures would require an unimplemented d2h pull at trace time on this
+    # TPU runtime (see core/transfer.py).
+    return e1.astype(cdtype), e2.astype(cdtype)
 
 
 def _as_filter(filt, dtype=jnp.float32):
@@ -275,8 +278,7 @@ def make_etdrk4(
         ):
             a = a.real
         if np.iscomplexobj(a):
-            from .transfer import to_device
-            return to_device(a, np.complex128 if double else np.complex64)
+            return a.astype(np.complex128 if double else np.complex64)
         return jnp.asarray(a.astype(np.float64 if double else np.float32))
 
     E, E2, Q, f1, f2, f3 = map(cvt, (E, E2, Q, f1, f2, f3))

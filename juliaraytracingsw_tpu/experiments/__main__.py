@@ -1,0 +1,385 @@
+"""CLI for the experiment drivers.
+
+Subcommands mirror the reference entry points:
+
+    rsw                RSW turbulence (rsw/RSWMain.jl -> RSWDriver.start!)
+    rsw-raytracing     RSW + GPU-style packet ensemble
+                       (rsw/RSWRaytracingMain.jl -> RaytracingDriver)
+    swqg               SWQG turbulence (swqg/SWQGMain.jl)
+    swqg-raytracing    SWQG + packets (swqg/RaytracingDriver.jl)
+    twolayer           TwoLayerQG turbulence (swqg/TwoLayerDriver.jl)
+    twolayer-raytracing  TwoLayerQG + packets on the baroclinic flow
+                       (swqg/TwoLayerRaytracingDriver.jl)
+    thomasyamada       Thomas-Yamada run (thomasyamada/TYdriver.jl)
+    steady-raytracing  packets through a frozen snapshot
+                       (raytracing/SteadyRaytracing.jl)
+
+Common flow per run: derive dt from CFL tune, derive hyperviscosity, build
+model + driver, spinup, coupled frames with rolling outputs + diagnostics.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--nx", type=int, default=256)
+    p.add_argument("--L", type=float, default=2 * np.pi)
+    p.add_argument("--cfltune", type=float, default=0.1)
+    p.add_argument("--nutune", type=float, default=1.0)
+    p.add_argument("--nnu", type=int, default=4)
+    p.add_argument("--umax-estimate", type=float, default=2.0,
+                   help="velocity scale for the CFL-derived dt")
+    p.add_argument("--stepper", default="IFMAB3")
+    p.add_argument("--use-filter", action="store_true")
+    p.add_argument("--spinup-T", type=float, default=10.0)
+    p.add_argument("--T", type=float, default=20.0)
+    p.add_argument("--output-dt", type=float, default=1.0)
+    p.add_argument("--max-writes", type=int, default=300)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--base-filename", default=None)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (e.g. cpu)")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a resumable checkpoint here at the end")
+    p.add_argument("--restore", default=None,
+                   help="resume from a checkpoint file")
+
+
+def _add_packets(p: argparse.ArgumentParser):
+    p.add_argument("--sqrt-npackets", type=int, default=16)
+    p.add_argument("--omega0-over-f", type=float, default=2.0)
+    p.add_argument("--k-ring", action="store_true", default=True)
+    p.add_argument("--ray-substeps", type=int, default=1)
+    p.add_argument("--ray-method", default="rk4")
+    p.add_argument("--interp", default="bilinear",
+                   choices=["bilinear", "bspline"])
+    p.add_argument("--frozen-flow", action="store_true")
+    p.add_argument("--birth-death", action="store_true")
+
+
+def _setup(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from ..coupled.driver import derive_dt, derive_nu
+    from ..core.grid import make_grid
+
+    grid = make_grid(args.nx, Lx=args.L)
+    dt = derive_dt(args.cfltune, args.umax_estimate, grid.dx)
+    nu = derive_nu(args.nutune, args.nx, args.nnu, dt)
+    rng = np.random.default_rng(args.seed)
+    return grid, dt, nu, rng
+
+
+def _writers(args, default_base):
+    from ..io.output import SequencedWriter
+
+    base = args.base_filename or default_base
+    snap = SequencedWriter(os.path.join(args.out_dir, base), args.max_writes)
+    pkts = SequencedWriter(os.path.join(args.out_dir, "packets"),
+                           args.max_writes)
+    return snap, pkts
+
+
+def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
+                 diagnostics, default_base):
+    from ..coupled.driver import CoupledDriver
+
+    grid = model.grid
+    dt = args.dt
+    snap_w, pkt_w = _writers(args, default_base)
+    drv = CoupledDriver(
+        model=model, psih_fn=psih_fn, rp=rp, dt=dt, stepper=args.stepper,
+        use_filter=args.use_filter,
+        ray_substeps=args.ray_substeps, ray_method=args.ray_method,
+        k_cutoff=100.0 * f / Cg,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        frozen_flow=args.frozen_flow,
+        snapshot_writer=snap_w, packet_writer=pkt_w,
+        diagnostics=diagnostics,
+    )
+    drv.init(sol0, packets)
+    if args.restore:
+        drv.restore(args.restore)
+    spinup_steps = int(args.spinup_T / dt)
+    drv.spinup(spinup_steps)
+    frames = max(int((args.T - args.spinup_T) / args.output_dt), 1)
+    steps_per_frame = max(int(args.output_dt / dt), 1)
+    drv.run(frames, steps_per_frame)
+    drv.save_diagnostics(os.path.join(args.out_dir, "diagnostics.h5"))
+    if args.checkpoint:
+        drv.checkpoint(args.checkpoint)
+    drv.close()
+    print(f"done: t={float(drv.sim.clock.t):.3f}, "
+          f"{frames} frames -> {args.out_dir}")
+
+
+def cmd_rsw(args):
+    from ..coupled.initial_conditions import band_geo_wave_ic, front_ic
+    from ..models import rsw
+    from ..rays.packets import lattice_packets
+    from ..rays.raytrace import RayParams
+
+    grid, dt, nu, rng = _setup(args)
+    args.dt = dt
+    f, Cg = args.f_over_cg * args.cg, args.cg
+    model = rsw.make_model(grid, nu=nu, nnu=args.nnu, f=f, Cg=Cg)
+    params = model.params
+
+    if args.ic == "front":
+        sol0 = front_ic(grid, rng, n_waves=10, aw=args.aw, f=f, Cg=Cg)
+    else:
+        sol0 = band_geo_wave_ic(grid, rng, Kg=tuple(args.Kg),
+                                Kw=tuple(args.Kw), ag=args.ag, aw=args.aw,
+                                f=f, Cg=Cg)
+
+    def psih_fn(sol):
+        Kd2 = f * f / (Cg * Cg)
+        qh = grid.ik * sol[1] - grid.il * sol[0] - f * sol[2]
+        return -qh / (grid.Krsq + Kd2)
+
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+    packets = lattice_packets(
+        args.sqrt_npackets, grid.Lx, grid.Ly,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        k_ring=args.k_ring,
+    ) if args.with_packets else lattice_packets(1, grid.Lx, grid.Ly, k0=1.0)
+
+    diags = {
+        "kinetic_energy": lambda s, g, p: rsw.kinetic_energy(s, g),
+        "potential_energy": lambda s, g, p: rsw.potential_energy(s, g, p),
+    }
+    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "rsw")
+
+
+def cmd_swqg(args):
+    from ..coupled.initial_conditions import random_band_psih
+    from ..models import swqg
+    from ..rays.packets import lattice_packets
+    from ..rays.raytrace import RayParams
+
+    grid, dt, nu, rng = _setup(args)
+    args.dt = dt
+    f, Cg = args.f, args.cg
+    model = swqg.make_model(grid, nu=nu, nnu=args.nnu, f=f, Cg=Cg)
+    psih0 = random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
+    sol0 = swqg.pv_from_streamfunction(psih0, grid, model.params)
+
+    psih_fn = lambda s: swqg.streamfunction_from_pv(s, grid, model.params)
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+    packets = lattice_packets(
+        args.sqrt_npackets, grid.Lx, grid.Ly,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        k_ring=args.k_ring,
+    )
+    diags = {
+        "energy": lambda s, g, p: swqg.energy(s, g, p),
+        "enstrophy": lambda s, g, p: swqg.enstrophy(s, g, p),
+    }
+    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "swqg")
+
+
+def cmd_twolayer(args):
+    from ..coupled.initial_conditions import random_band_psih
+    from ..models import twolayerqg
+    from ..rays.packets import lattice_packets
+    from ..rays.raytrace import RayParams
+    import jax.numpy as jnp
+
+    grid, dt, nu, rng = _setup(args)
+    args.dt = dt
+    f, Cg = args.f, args.cg
+    model = twolayerqg.make_model(grid, U=args.U, mu=args.mu, nu=nu,
+                                  nnu=args.nnu, f0=f, Cg=Cg,
+                                  drho_rho0=args.drho_rho0)
+    psih0 = jnp.stack([
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+    ])
+    sol0 = twolayerqg.pv_from_streamfunction(psih0, grid, model.params)
+
+    sgn = -1.0 if args.baroclinic else 1.0
+
+    def psih_fn(s):
+        psih = twolayerqg.streamfunction_from_pv(s, grid, model.params)
+        # barotropic (psi1+psi2)/2 or baroclinic (psi1-psi2)/2 advection
+        # (raytracing/TwoLayerRaytracing.jl:122, swqg/TwoLayerRaytracingDriver.jl:232)
+        return 0.5 * (psih[0] + sgn * psih[1])
+
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+    packets = lattice_packets(
+        args.sqrt_npackets, grid.Lx, grid.Ly,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        k_ring=args.k_ring,
+    )
+    diags = {
+        "kinetic_energy": lambda s, g, p: np.asarray(
+            twolayerqg.kinetic_energy(s, g, p)),
+        "potential_energy": lambda s, g, p: twolayerqg.potential_energy(s, g, p),
+    }
+    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "2Lqg")
+
+
+def cmd_thomasyamada(args):
+    from ..coupled.initial_conditions import random_band_psih
+    from ..core.steppers import zero_clock
+    from ..io.output import SequencedWriter, save_problem
+    from ..models import thomasyamada
+    from ..models.base import build_stepper, run
+    from ..core.transfer import to_host
+    import jax.numpy as jnp
+
+    grid, dt, nu, rng = _setup(args)
+    model = thomasyamada.make_model(grid, nu=args.ty_nu, nnu=args.ty_nnu,
+                                    Ro=args.Ro)
+    # basis-projected random IC (TYdriver.jl:35-91): random baroclinic field
+    # projected onto wave/geo eigen-structure + barotropic band noise
+    sol0 = jnp.stack([
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
+        for _ in range(4)
+    ])
+    stepper = args.stepper if args.stepper != "IFMAB3" else "ETDRK4"
+    init_fn, step_fn = build_stepper(model, stepper, dt,
+                                     use_filter=args.use_filter)
+    state = init_fn(sol0)
+    clock = zero_clock()
+    writer = SequencedWriter(os.path.join(args.out_dir,
+                                          args.base_filename or "ty"),
+                             args.max_writes)
+    save_problem(writer, grid, model.params, dt)
+    sol = sol0
+    nframes = max(int(args.T / args.output_dt), 1)
+    steps_per = max(int(args.output_dt / dt), 1)
+    for i in range(nframes):
+        sol, clock, state = run(step_fn, sol, clock, state, steps_per)
+        writer.write_frame(int(clock.step), sol=to_host(sol))
+        writer.write(f"snapshots/t/{int(clock.step)}", float(clock.t))
+        if not np.isfinite(to_host(sol[0]).real).all():
+            print("NaN detected; aborting")
+            break
+    writer.close()
+    ke, pe = thomasyamada.baroclinic_energy(sol, grid)
+    print(f"done: t={float(clock.t):.3f} baroclinic KE={float(ke):.4g} "
+          f"PE={float(pe):.4g}")
+
+
+def cmd_steady_raytracing(args):
+    """Packets through a frozen flow snapshot (raytracing/SteadyRaytracing.jl)."""
+    from ..coupled.initial_conditions import random_band_psih
+    from ..io.output import SequencedWriter
+    from ..models import swqg
+    from ..rays.packets import lattice_packets
+    from ..rays.raytrace import (RayParams, fields_from_psih, raytrace,
+                                 sample_velocity)
+
+    grid, dt, nu, rng = _setup(args)
+    f, Cg = args.f, args.cg
+    if args.snapshot_file:
+        from ..io.jld2 import load_array
+
+        psih_np = load_array(args.snapshot_file, args.snapshot_key)
+        from ..core.transfer import to_device
+
+        psih = to_device(psih_np.astype(np.complex64))
+    else:
+        psih = random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+    fields = fields_from_psih(psih, grid, args.interp)
+    packets = lattice_packets(
+        args.sqrt_npackets, grid.Lx, grid.Ly,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        k_ring=args.k_ring,
+    )
+    writer = SequencedWriter(os.path.join(args.out_dir, "packets"),
+                             args.max_writes)
+    nframes = max(int(args.T / args.output_dt), 1)
+    sub = max(int(args.output_dt / dt), 1)
+    t = 0.0
+    for i in range(nframes):
+        packets = raytrace(packets, fields, fields, t, t + args.output_dt,
+                           rp, nsubsteps=sub, method=args.ray_method)
+        t += args.output_dt
+        u, v = sample_velocity(packets, fields, rp)
+        writer.write_packets(
+            i, t,
+            x=np.stack([np.asarray(packets.x), np.asarray(packets.y)], 1),
+            k=np.stack([np.asarray(packets.k), np.asarray(packets.l)], 1),
+            u=np.stack([np.asarray(u), np.asarray(v)], 1),
+        )
+    writer.close()
+    print(f"done: {nframes} packet frames, t={t:.2f}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="juliaraytracingsw_tpu.experiments")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("rsw", help="RSW turbulence (+ optional packets)")
+    _add_common(p); _add_packets(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f-over-cg", type=float, default=3.0)
+    p.add_argument("--ic", default="band", choices=["band", "front"])
+    p.add_argument("--Kg", type=float, nargs=2, default=(10, 13))
+    p.add_argument("--Kw", type=float, nargs=2, default=(0, 5))
+    p.add_argument("--ag", type=float, default=1.5)
+    p.add_argument("--aw", type=float, default=0.1)
+    p.add_argument("--with-packets", action="store_true", default=True)
+    p.set_defaults(fn=cmd_rsw)
+
+    p = sub.add_parser("swqg", help="SWQG turbulence + packets")
+    _add_common(p); _add_packets(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f", type=float, default=3.0)
+    p.add_argument("--Kg", type=float, nargs=2, default=(10, 13))
+    p.add_argument("--ag", type=float, default=0.5)
+    p.set_defaults(fn=cmd_swqg)
+
+    p = sub.add_parser("twolayer", help="TwoLayerQG turbulence + packets")
+    _add_common(p); _add_packets(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f", type=float, default=3.0)
+    p.add_argument("--U", type=float, default=0.2)
+    p.add_argument("--mu", type=float, default=0.5)
+    p.add_argument("--drho-rho0", type=float, default=0.2)
+    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6))
+    p.add_argument("--ag", type=float, default=0.01)
+    p.add_argument("--baroclinic", action="store_true",
+                   help="advect packets with the baroclinic streamfunction")
+    p.set_defaults(fn=cmd_twolayer)
+
+    p = sub.add_parser("thomasyamada", help="Thomas-Yamada run")
+    _add_common(p)
+    p.add_argument("--Ro", type=float, default=0.2)
+    p.add_argument("--ty-nu", type=float, default=3.5e-25)
+    p.add_argument("--ty-nnu", type=int, default=8)
+    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6))
+    p.add_argument("--ag", type=float, default=0.1)
+    p.set_defaults(fn=cmd_thomasyamada)
+
+    p = sub.add_parser("steady-raytracing",
+                       help="packets through a frozen snapshot")
+    _add_common(p); _add_packets(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f", type=float, default=3.0)
+    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6))
+    p.add_argument("--ag", type=float, default=0.2)
+    p.add_argument("--snapshot-file", default=None)
+    p.add_argument("--snapshot-key", default="snapshots/sol/0")
+    p.set_defaults(fn=cmd_steady_raytracing)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

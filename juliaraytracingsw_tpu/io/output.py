@@ -26,6 +26,9 @@ __all__ = ["SequencedWriter", "SequencedReader", "save_problem"]
 
 class SequencedWriter:
     def __init__(self, base: str, max_writes: int = 300):
+        parent = os.path.dirname(base)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         self.base = base
         self.max_writes = int(max_writes)
         self.idx = 0

@@ -33,8 +33,7 @@ def build_L_modified(grid, params: RSWParams, decouple_eta: bool = False):
         L[2, 0] = -1j * kr * np.ones_like(ell)
         L[2, 1] = -1j * ell * np.ones_like(kr)
     L[2, 2] = D
-    from ..core.transfer import to_device
-    return to_device(L, np.complex64)
+    return L.astype(np.complex64)
 
 
 def _modified_N(solh, grid, pressure_of_eta, flux_var: str):

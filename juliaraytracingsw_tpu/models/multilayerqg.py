@@ -105,8 +105,7 @@ def build_L(grid, params: MultiLayerParams, Sinv=None):
         for m in range(n):
             L[j, m] = coef[j] * Sinv[j, m]
         L[j, j] += -1j * kr * U[j] + D
-    from ..core.transfer import to_device
-    return to_device(L, np.complex64)
+    return L.astype(np.complex64)
 
 
 def two_layer_defaults(
@@ -138,8 +137,7 @@ def make_model(
         Fcoup=tuple(float(f) for f in Fcoup), delta=tuple(float(d) for d in delta),
     )
     Sinv = _sinv(grid, params)
-    from ..core.transfer import to_device
-    Sinv_j = to_device(Sinv, np.complex64)
+    Sinv_j = Sinv.astype(np.complex64)
     L = build_L(grid, params, Sinv)
 
     def psi_from_q(qh):
@@ -163,14 +161,12 @@ def make_model(
 
 
 def streamfunction_from_pv(qh, grid, params: MultiLayerParams):
-    from ..core.transfer import to_device
-    Sinv = to_device(_sinv(grid, params), np.complex64)
+    Sinv = _sinv(grid, params).astype(np.complex64)
     return jnp.einsum("ab...,b...->a...", Sinv, qh)
 
 
 def pv_from_streamfunction(psih, grid, params: MultiLayerParams):
-    from ..core.transfer import to_device
-    A = to_device(_stretching_matrix(params).astype(np.complex128), np.complex64)
+    A = _stretching_matrix(params).astype(np.complex64)
     return -grid.Krsq * psih + jnp.einsum("ab,b...->a...", A, psih)
 
 

@@ -72,8 +72,8 @@ def build_L(grid: Grid, params: RSWParams) -> jax.Array:
     L[2, 0] = -1j * kr * np.ones_like(ell)
     L[2, 1] = -1j * ell * np.ones_like(kr)
     L[2, 2] = D
-    from ..core.transfer import to_device
-    return to_device(L, np.complex64)
+    # host numpy: embeds as a jit constant without complex h2d transfers
+    return L.astype(np.complex64)
 
 
 def _advection_N(solh, grid: Grid, rotational_only: bool = False):

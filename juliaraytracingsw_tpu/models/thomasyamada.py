@@ -131,8 +131,7 @@ def ty_bases(grid):
     Phim[2] = (om**2 - 1.0) * s / om
     Phim[:, 0, 0] = np.asarray([1j, -1.0, 0.0]) / np.sqrt(2.0)
 
-    from ..core.transfer import to_device
-    cast = lambda a: to_device(a, np.complex64)
+    cast = lambda a: a.astype(np.complex64)
     return cast(Phi0), cast(Phip), cast(Phim)
 
 

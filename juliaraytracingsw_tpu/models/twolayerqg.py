@@ -84,8 +84,7 @@ def build_L(grid, params: TwoLayerParams):
     L[0, 1] = c1 * Sinv01
     L[1, 0] = c2 * Sinv01
     L[1, 1] = c2 * Sinv00 + (1j * kr * U) + D
-    from ..core.transfer import to_device
-    return to_device(L, np.complex64)
+    return L.astype(np.complex64)
 
 
 def make_model(

@@ -83,8 +83,7 @@ def balanced_wave_bases(grid, params: RSWParams):
     Phim[2] = Cg * Krsq * s / om
     Phim[:, 0, 0] = np.asarray([-1j, 1.0, 0.0]) / np.sqrt(2.0)
 
-    from ..core.transfer import to_device
-    cast = lambda a: to_device(a, np.complex64)
+    cast = lambda a: a.astype(np.complex64)
     return cast(Phi0), cast(Phip), cast(Phim)
 
 

@@ -30,7 +30,7 @@ class TestRadial:
         cells fully inside the largest radius."""
         g = make_grid(32)
         radii, W = radial.radial_weights(g, resolution_factor=2)
-        total = W.sum(axis=0)  # (nl, nkr)
+        total = np.asarray(W.sum(axis=0)).reshape(g.nl, g.nkr)
         K = np.sqrt(np.asarray(g.Krsq))
         inside = K < radii[-1] - 1.5  # fully covered cells
         expected = np.ones_like(total)
