@@ -90,15 +90,17 @@ class Grid:
         """
         return solh * self.dealias_mask
 
-    # spectral derivative factors
+    # spectral derivative factors. Built with lax.complex instead of 1j*
+    # multiplication so they also work EAGERLY on runtimes where complex
+    # host->device constant transfers are unimplemented (core/transfer.py).
     @property
     def ik(self) -> jax.Array:
         """i*kr broadcast over (nl, nkr)."""
-        return (1j * self.kr)[None, :]
+        return jax.lax.complex(jnp.zeros_like(self.kr), self.kr)[None, :]
 
     @property
     def il(self) -> jax.Array:
-        return (1j * self.l)[:, None]
+        return jax.lax.complex(jnp.zeros_like(self.l), self.l)[:, None]
 
 
 def _wavenumbers(n: int, L: float) -> np.ndarray:
