@@ -320,6 +320,95 @@ def cmd_steady_raytracing(args):
     print(f"done: {nframes} packet frames, t={t:.2f}")
 
 
+def cmd_twolayer_simulation(args):
+    """Spin-up runs producing IC files for raytracing
+    (simulation/TwoLayerSimulation.jl:13-143, FreelyEvolvingSimulation.jl)."""
+    import h5py
+    import jax.numpy as jnp
+
+    from ..coupled.initial_conditions import random_band_psih
+    from ..core.steppers import zero_clock
+    from ..core.transfer import to_host
+    from ..models import twolayerqg
+    from ..models.base import build_stepper, run
+
+    grid, dt, nu, rng = _setup(args)
+    model = twolayerqg.make_model(grid, U=args.U, mu=args.mu, nu=nu,
+                                  nnu=args.nnu, f0=args.f, Cg=args.cg,
+                                  drho_rho0=args.drho_rho0)
+    psih0 = jnp.stack([
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+    ])
+    sol = twolayerqg.pv_from_streamfunction(psih0, grid, model.params)
+    stepper = "FilteredAB3" if args.stepper == "IFMAB3" and args.freely_evolving \
+        else args.stepper
+    init_fn, step_fn = build_stepper(model, stepper, dt,
+                                     use_filter=args.use_filter)
+    state = init_fn(sol)
+    clock = zero_clock()
+    nsteps = int(args.T / dt)
+    chunk = max(nsteps // 10, 1)
+    done = 0
+    while done < nsteps:
+        k = min(chunk, nsteps - done)
+        sol, clock, state = run(step_fn, sol, clock, state, k)
+        done += k
+        ke = twolayerqg.kinetic_energy(sol, grid, model.params)
+        print(f"t={float(clock.t):8.2f} KE=({float(ke[0]):.4g}, "
+              f"{float(ke[1]):.4g})", flush=True)
+    psih = twolayerqg.streamfunction_from_pv(sol, grid, model.params)
+    os.makedirs(args.out_dir, exist_ok=True)
+    # initial_condition_%dx%d_U=%.2f naming (TwoLayerSimulation.jl:137-143)
+    path = os.path.join(
+        args.out_dir,
+        f"initial_condition_{grid.nx}x{grid.ny}_U={args.U:.2f}.h5",
+    )
+    with h5py.File(path, "w") as f:
+        f["ic/psih"] = to_host(psih)
+        f["ic/qh"] = to_host(sol)
+        for name, val in (("U", args.U), ("mu", args.mu), ("f0", args.f),
+                          ("Cg", args.cg), ("nx", grid.nx), ("Lx", grid.Lx)):
+            f[f"params/{name}"] = val
+    print(f"wrote {path}")
+
+
+def cmd_sweep(args):
+    """Run an experiment over every row of a sweep table — the framework's
+    replacement for SLURM job arrays + awk lookups (SURVEY.md §2.5)."""
+    import shlex
+    import subprocess
+    import sys
+
+    from ..config.params import load_sweep_table
+
+    rows = load_sweep_table(args.table)
+    sel = rows if args.task is None else [rows[args.task - 1]]
+    for i, row in enumerate(sel):
+        task_id = row.get("ArrayTaskID", str(i + 1))
+        out_dir = os.path.join(args.out_dir, f"task_{task_id}")
+        extra = []
+        for key, val in row.items():
+            if key == "ArrayTaskID":
+                continue
+            extra += [f"--{key.replace('_', '-')}", val]
+        cmd = [sys.executable, "-m", "juliaraytracingsw_tpu.experiments",
+               args.experiment, "--out-dir", out_dir] + extra + \
+            shlex.split(args.extra_args)
+        print("sweep task", task_id, ":", " ".join(cmd), flush=True)
+        subprocess.run(cmd, check=True)
+
+
+def cmd_analyze(args):
+    """Offline analysis suite over a finished run directory."""
+    from ..analysis.suite import analyze_run
+
+    rep, figs = analyze_run(args.run_dir, base=args.base,
+                            out_dir=args.figures_dir)
+    print(f"report: {rep.run_id} Ro={rep.rossby:.3f} Fr={rep.froude:.3f} "
+          f"figures={sorted(figs)}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="juliaraytracingsw_tpu.experiments")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -376,6 +465,36 @@ def main(argv=None):
     p.add_argument("--snapshot-file", default=None)
     p.add_argument("--snapshot-key", default="snapshots/sol/0")
     p.set_defaults(fn=cmd_steady_raytracing)
+
+    p = sub.add_parser("twolayer-simulation",
+                       help="spin-up producing IC files (TwoLayerSimulation.jl)")
+    _add_common(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f", type=float, default=3.0)
+    p.add_argument("--U", type=float, default=0.2)
+    p.add_argument("--mu", type=float, default=0.5)
+    p.add_argument("--drho-rho0", type=float, default=0.2)
+    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6))
+    p.add_argument("--ag", type=float, default=0.01)
+    p.add_argument("--freely-evolving", action="store_true",
+                   help="unforced/undamped variant (FreelyEvolvingSimulation.jl)")
+    p.set_defaults(fn=cmd_twolayer_simulation)
+
+    p = sub.add_parser("sweep", help="parameter sweep over a table "
+                                     "(replaces SLURM job arrays)")
+    p.add_argument("experiment")
+    p.add_argument("table")
+    p.add_argument("--task", type=int, default=None,
+                   help="run only this 1-based task id")
+    p.add_argument("--out-dir", default="sweep")
+    p.add_argument("--extra-args", default="")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("analyze", help="offline analysis suite over a run dir")
+    p.add_argument("run_dir")
+    p.add_argument("--base", default="rsw")
+    p.add_argument("--figures-dir", default=None)
+    p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     args.fn(args)

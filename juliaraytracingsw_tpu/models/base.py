@@ -75,13 +75,23 @@ def build_stepper(
     return factory(model.L, model.calcN, dt, filt)
 
 
-def run(step_fn, sol, clock: Clock, state, nsteps: int):
-    """Advance ``nsteps`` with ``lax.scan`` (jit/grad/shard friendly)."""
+def run(step_fn, sol, clock: Clock, state, nsteps: int,
+        remat: bool = False):
+    """Advance ``nsteps`` with ``lax.scan`` (jit/grad/shard friendly).
+
+    ``remat=True`` checkpoints each step for the backward pass so gradients
+    through long horizons fit HBM (rematerialise forward work instead of
+    storing every FFT intermediate — SURVEY.md §5.7: this, not ring
+    attention, is the long-context problem here).
+    """
 
     def body(carry, _):
         sol, clock, state = carry
         sol, clock, state = step_fn(sol, clock, state)
         return (sol, clock, state), None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
 
     (sol, clock, state), _ = jax.lax.scan(
         body, (sol, clock, state), None, length=nsteps

