@@ -373,6 +373,74 @@ def cmd_twolayer_simulation(args):
     print(f"wrote {path}")
 
 
+def cmd_single_wave(args):
+    """Single wave-packet-in-envelope RSW experiment
+    (rsw/SingleWaveRSWRaytracingDriver.jl:154-299): spin up RSW turbulence,
+    replace the wave part of the state with one enveloped plane wave, and
+    co-evolve the resolved wave with a small ray-traced packet ensemble
+    launched from the envelope centre."""
+    import jax.numpy as jnp
+
+    from ..coupled.initial_conditions import band_geo_wave_ic
+    from ..coupled.single_wave import inject_single_wave
+    from ..models import rsw
+    from ..rays.packets import Packets
+    from ..rays.raytrace import RayParams
+
+    grid, dt, nu, rng = _setup(args)
+    args.dt = dt
+    f, Cg = args.f_over_cg * args.cg, args.cg
+    model = rsw.make_model(grid, nu=nu, nnu=args.nnu, f=f, Cg=Cg)
+
+    sol0 = band_geo_wave_ic(grid, rng, Kg=tuple(args.Kg), Kw=(0, 0),
+                            ag=args.ag, aw=0.0, f=f, Cg=Cg)
+
+    def psih_fn(sol):
+        Kd2 = f * f / (Cg * Cg)
+        qh = grid.ik * sol[1] - grid.il * sol[0] - f * sol[2]
+        return -qh / (grid.Krsq + Kd2)
+
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+    k0 = float(np.asarray(grid.kr)[args.k0_idx])
+    l0 = float(np.asarray(grid.l)[args.l0_idx])
+    # rays launched at the envelope centre, carrying the injected wavevector,
+    # one per dispersion branch (SingleWaveRSWRaytracingDriver.jl:107-121)
+    packets = Packets(
+        x=jnp.asarray([args.wave_x0, args.wave_x0], jnp.float32),
+        y=jnp.asarray([args.wave_y0, args.wave_y0], jnp.float32),
+        k=jnp.asarray([k0, k0], jnp.float32),
+        l=jnp.asarray([l0, l0], jnp.float32),
+        sign=jnp.asarray([1.0, -1.0], jnp.float32),
+    )
+    diags = {
+        "kinetic_energy": lambda s, g, p: rsw.kinetic_energy(s, g),
+        "potential_energy": lambda s, g, p: rsw.potential_energy(s, g, p),
+    }
+
+    from ..coupled.driver import CoupledDriver
+
+    snap_w, pkt_w = _writers(args, "single_wave")
+    drv = CoupledDriver(
+        model=model, psih_fn=psih_fn, rp=rp, dt=dt, stepper=args.stepper,
+        use_filter=args.use_filter, ray_substeps=args.ray_substeps,
+        ray_method=args.ray_method, k_cutoff=100.0 * f / Cg, k0=k0,
+        snapshot_writer=snap_w, packet_writer=pkt_w, diagnostics=diags,
+    )
+    drv.init(sol0, packets)
+    drv.spinup(int(args.spinup_T / dt))
+    # inject after spinup into the geostrophic part (:87-105)
+    drv.sim = drv.sim._replace(sol=inject_single_wave(
+        drv.sim.sol, grid, model.params, x0=args.wave_x0, y0=args.wave_y0,
+        k0_idx=args.k0_idx, l0_idx=args.l0_idx, env_size=args.env_size,
+        aw=args.aw))
+    frames = max(int((args.T - args.spinup_T) / args.output_dt), 1)
+    drv.run(frames, max(int(args.output_dt / dt), 1))
+    drv.save_diagnostics(os.path.join(args.out_dir, "diagnostics.h5"))
+    drv.close()
+    print(f"done: t={float(drv.sim.clock.t):.3f}, {frames} frames")
+
+
 def cmd_sweep(args):
     """Run an experiment over every row of a sweep table — the framework's
     replacement for SLURM job arrays + awk lookups (SURVEY.md §2.5)."""
@@ -479,6 +547,22 @@ def main(argv=None):
     p.add_argument("--freely-evolving", action="store_true",
                    help="unforced/undamped variant (FreelyEvolvingSimulation.jl)")
     p.set_defaults(fn=cmd_twolayer_simulation)
+
+    p = sub.add_parser("single-wave",
+                       help="single wave packet in envelope + one ray "
+                            "(SingleWaveRSWRaytracingDriver.jl)")
+    _add_common(p); _add_packets(p)
+    p.add_argument("--cg", type=float, default=1.0)
+    p.add_argument("--f-over-cg", type=float, default=3.0)
+    p.add_argument("--Kg", type=float, nargs=2, default=(10, 13))
+    p.add_argument("--ag", type=float, default=0.5)
+    p.add_argument("--aw", type=float, default=0.1)
+    p.add_argument("--wave-x0", type=float, default=0.0)
+    p.add_argument("--wave-y0", type=float, default=0.0)
+    p.add_argument("--k0-idx", type=int, default=10)
+    p.add_argument("--l0-idx", type=int, default=0)
+    p.add_argument("--env-size", type=float, default=0.5)
+    p.set_defaults(fn=cmd_single_wave)
 
     p = sub.add_parser("sweep", help="parameter sweep over a table "
                                      "(replaces SLURM job arrays)")

@@ -148,3 +148,81 @@ class SequencedReader:
                 if key in f:
                     return f[key][()]
         raise KeyError(key)
+
+    # -- AnalysisUtils-parity helpers ------------------------------------
+    # (analysis/Notebooks/AnalysisUtils.jl:24-78 count/load/map,
+    #  :189-285 mapreduce/mapfilter + param readers)
+
+    def count(self, group: str = "snapshots/sol") -> int:
+        """Number of frames across the whole file sequence (:24-40)."""
+        return len(self.steps(group))
+
+    def load(self, step: int, group: str = "snapshots/sol"):
+        """Load one frame by step, searching the file sequence (:42-60)."""
+        key = f"{group}/{step}"
+        return self.read(key)
+
+    def mapreduce(self, fn: Callable, reducer: Callable, init,
+                  group: str = "snapshots/sol"):
+        """Streaming reduce over frames without materialising every result
+        (:189-230): acc = reducer(acc, fn(step, array))."""
+        acc = init
+        for p in self.paths:
+            with h5py.File(p, "r") as f:
+                if group not in f:
+                    continue
+                for s in sorted(f[group].keys(), key=int):
+                    acc = reducer(acc, fn(int(s), f[f"{group}/{s}"][()]))
+        return acc
+
+    def mapfilter(self, fn: Callable, pred: Callable,
+                  group: str = "snapshots/sol"):
+        """Apply fn only to frames whose step passes pred (:232-260)."""
+        results = []
+        for p in self.paths:
+            with h5py.File(p, "r") as f:
+                if group not in f:
+                    continue
+                for s in sorted(f[group].keys(), key=int):
+                    if pred(int(s)):
+                        results.append(fn(int(s), f[f"{group}/{s}"][()]))
+        return results
+
+    def params(self) -> dict:
+        """All scalar run metadata under grid/, params/, clock/ (:262-285)."""
+        out = {}
+        for p in self.paths:
+            with h5py.File(p, "r") as f:
+                for top in ("grid", "params", "clock"):
+                    if top in f:
+                        for name, ds in f[top].items():
+                            out.setdefault(f"{top}/{name}", ds[()])
+        return out
+
+    def packet_times(self):
+        """Sorted (step, t) pairs of packet frames across the sequence."""
+        pairs = []
+        for p in self.paths:
+            with h5py.File(p, "r") as f:
+                if "p/t" in f:
+                    for s, ds in f["p/t"].items():
+                        pairs.append((int(s), float(ds[()])))
+        return sorted(pairs)
+
+    def final_packet_frame(self):
+        """Stitch the last packet frame across the file sequence
+        (analysis/load_file.jl:131-148): the highest step may live in the
+        final file while earlier files hold the history — return
+        (step, {x,k,u,g}) from the globally-latest packet write."""
+        best_step, best = -1, None
+        for p in self.paths:
+            with h5py.File(p, "r") as f:
+                if "p/x" not in f:
+                    continue
+                s = max(int(k) for k in f["p/x"].keys())
+                if s > best_step:
+                    best_step = s
+                    best = {name: f[f"p/{name}/{s}"][()]
+                            for name in ("t", "x", "k", "u", "g")
+                            if f"p/{name}/{s}" in f}
+        return best_step, best

@@ -122,3 +122,84 @@ class TestSingleWave:
         np.testing.assert_allclose(np.asarray(geo_out - geo_in),
                                    np.asarray(geo_w), atol=3e-3 * scale)
         assert float(jnp.max(jnp.abs(wave_out))) > 0
+
+
+class TestRay1D:
+    """rays/ray1d.py — 1-D prototype (raytracing/JuliaRaytracing1D.jl)."""
+
+    def test_uniform_flow_advection(self):
+        import jax.numpy as jnp
+
+        from juliaraytracingsw_tpu.rays.ray1d import init_rays1d, raytrace1d
+
+        L = 2 * np.pi
+        u = jnp.full((64,), 0.3, jnp.float32)
+        ux = jnp.zeros((64,), jnp.float32)
+        rays = init_rays1d(8, L, k0=1.0)
+        dt, nsteps = 1e-3, 500
+        out = raytrace1d(rays, u, ux, dt, nsteps, L)
+        # k unchanged in uniform flow; x advances by (u + k/sqrt(1+k^2)) t
+        np.testing.assert_allclose(np.asarray(out.k), 1.0, rtol=1e-6)
+        cg = 1.0 / np.sqrt(2.0)
+        np.testing.assert_allclose(
+            np.asarray(out.x - rays.x), (0.3 + cg) * dt * nsteps, rtol=1e-4)
+
+    def test_methods_agree(self):
+        import jax.numpy as jnp
+
+        from juliaraytracingsw_tpu.rays.ray1d import init_rays1d, raytrace1d
+
+        L = 2 * np.pi
+        x = np.linspace(0, L, 128, endpoint=False)
+        u = jnp.asarray(0.2 * np.sin(x), jnp.float32)
+        ux = jnp.asarray(0.2 * np.cos(x), jnp.float32)
+        rays = init_rays1d(16, L, k0=2.0)
+        a = raytrace1d(rays, u, ux, 1e-3, 200, L, "rk4")
+        b = raytrace1d(rays, u, ux, 1e-3, 200, L, "midpoint")
+        np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.k), np.asarray(b.k),
+                                   atol=1e-4)
+
+
+class TestReaderAnalysisUtils:
+    """SequencedReader AnalysisUtils-parity API
+    (analysis/Notebooks/AnalysisUtils.jl:24-78,189-285; load_file.jl:131-148)."""
+
+    def _write_run(self, tmp_path):
+        from juliaraytracingsw_tpu.io.output import SequencedWriter
+
+        base = str(tmp_path / "run")
+        w = SequencedWriter(base, max_writes=2)  # force rollover
+        w.write("grid/nx", 16)
+        w.write("params/f", 3.0)
+        for i in range(5):
+            w.write_frame(i * 10, sol=np.full((4, 4), float(i)))
+            w.write_packets(i * 10, t=0.1 * i, x=np.full((3, 2), float(i)),
+                            k=np.ones((3, 2)), u=np.zeros((3, 2)))
+        w.close()
+        return base
+
+    def test_count_load_mapreduce_mapfilter(self, tmp_path):
+        from juliaraytracingsw_tpu.io.output import SequencedReader
+
+        base = self._write_run(tmp_path)
+        r = SequencedReader(base)
+        assert r.count() == 5
+        np.testing.assert_allclose(r.load(30), 3.0)
+        total = r.mapreduce(lambda s, a: a.mean(), lambda acc, v: acc + v, 0.0)
+        np.testing.assert_allclose(total, 0 + 1 + 2 + 3 + 4)
+        evens = r.mapfilter(lambda s, a: a.mean(), lambda s: s % 20 == 0)
+        np.testing.assert_allclose(evens, [0.0, 2.0, 4.0])
+
+    def test_params_and_final_packet_frame(self, tmp_path):
+        from juliaraytracingsw_tpu.io.output import SequencedReader
+
+        base = self._write_run(tmp_path)
+        r = SequencedReader(base)
+        p = r.params()
+        assert p["grid/nx"] == 16 and p["params/f"] == 3.0
+        assert r.packet_times()[-1] == (40, pytest.approx(0.4))
+        step, frame = r.final_packet_frame()
+        assert step == 40
+        np.testing.assert_allclose(frame["x"], 4.0)
