@@ -31,7 +31,7 @@ from .report import RunReport, write_run_page
 from .spectra import TimeMeanSpectra, derived_scales, snapshot_energetics
 from .transfer import time_mean_transfer
 
-__all__ = ["analyze_run"]
+__all__ = ["analyze_run", "analyze_runs"]
 
 
 def analyze_run(run_dir: str, base: str = "rsw", packet_base: str = "packets",
@@ -57,8 +57,10 @@ def analyze_run(run_dir: str, base: str = "rsw", packet_base: str = "packets",
     steps = reader.steps()
 
     if use_cache and os.path.exists(cache_path):
+        data = {}
         with h5py.File(cache_path, "r") as c:
-            data = {k: c[k][()] for k in c.keys()}
+            c.visititems(lambda name, obj: data.__setitem__(name, obj[()])
+                         if isinstance(obj, h5py.Dataset) else None)
     else:
         times, rows = [], []
         tms = TimeMeanSpectra(grid, params)
@@ -140,3 +142,33 @@ def analyze_run(run_dir: str, base: str = "rsw", packet_base: str = "packets",
         rep.add_section(title, [os.path.basename(fig)])
     write_run_page(rep, out_dir)
     return rep, figures
+
+
+def analyze_runs(run_dirs, base: str = "rsw", out_dir: str | None = None,
+                 max_workers: int = 4, **kwargs):
+    """Analyse many run directories concurrently and build the master
+    ``index.html`` table over them — equivalent of the threaded multi-run
+    driver analysis/RayPlotDriver.jl:4-10 plus the visualization HTML
+    database index (visualization/raytracing/index.html)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .report import write_index
+
+    run_dirs = list(run_dirs)
+    out_dir = out_dir or "figures"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def one(rd):
+        rid = os.path.basename(os.path.abspath(rd))
+        return analyze_run(rd, base=base, out_dir=os.path.join(out_dir, rid),
+                           run_id=rid, **kwargs)[0]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        reports = list(ex.map(one, run_dirs))
+    # the per-run pages live in subdirectories; link them from the index
+    for rep in reports:
+        rep.run_id = f"{rep.run_id}/{rep.run_id}"
+    idx = write_index(reports, out_dir)
+    for rep in reports:
+        rep.run_id = rep.run_id.split("/", 1)[1]
+    return reports, idx

@@ -468,10 +468,20 @@ def cmd_sweep(args):
 
 
 def cmd_analyze(args):
-    """Offline analysis suite over a finished run directory."""
+    """Offline analysis suite over one or more finished run directories."""
+    if len(args.run_dir) > 1:
+        from ..analysis.suite import analyze_runs
+
+        reports, idx = analyze_runs(args.run_dir, base=args.base,
+                                    out_dir=args.figures_dir or "figures")
+        for rep in reports:
+            print(f"report: {rep.run_id} Ro={rep.rossby:.3f} "
+                  f"Fr={rep.froude:.3f}")
+        print(f"index: {idx}")
+        return
     from ..analysis.suite import analyze_run
 
-    rep, figs = analyze_run(args.run_dir, base=args.base,
+    rep, figs = analyze_run(args.run_dir[0], base=args.base,
                             out_dir=args.figures_dir)
     print(f"report: {rep.run_id} Ro={rep.rossby:.3f} Fr={rep.froude:.3f} "
           f"figures={sorted(figs)}")
@@ -574,8 +584,8 @@ def main(argv=None):
     p.add_argument("--extra-args", default="")
     p.set_defaults(fn=cmd_sweep)
 
-    p = sub.add_parser("analyze", help="offline analysis suite over a run dir")
-    p.add_argument("run_dir")
+    p = sub.add_parser("analyze", help="offline analysis suite over run dirs")
+    p.add_argument("run_dir", nargs="+")
     p.add_argument("--base", default="rsw")
     p.add_argument("--figures-dir", default=None)
     p.set_defaults(fn=cmd_analyze)

@@ -208,3 +208,51 @@ class TestSpectra:
         np.testing.assert_allclose(
             e["E_geo_eig"] + e["E_wave_eig"], e["KE"] + e["PE"], rtol=1e-4
         )
+
+
+class TestSuiteEndToEnd:
+    """analysis/suite.py — full run-dir analysis + multi-run index
+    (RSWAnalysisSuite.jl, RayPlotDriver.jl:4-10, visualization index)."""
+
+    def _make_run(self, tmp_path, name, rng):
+        from juliaraytracingsw_tpu.io.output import SequencedWriter
+        from juliaraytracingsw_tpu.models import rsw
+        from juliaraytracingsw_tpu.core.transfer import to_host
+
+        run_dir = tmp_path / name
+        g = make_grid(32)
+        w = SequencedWriter(str(run_dir / "rsw"), max_writes=10)
+        w.write("grid/nx", 32); w.write("grid/Lx", 2 * np.pi)
+        w.write("params/f", 3.0); w.write("params/Cg2", 1.0)
+        for i in range(3):
+            sol = band_geo_wave_ic(g, rng, Kg=(3, 5), Kw=(0, 2), ag=0.3,
+                                   aw=0.05, f=3.0, Cg=1.0)
+            w.write_frame(i, sol=to_host(sol))
+            w.write(f"snapshots/t/{i}", 0.5 * i)
+        w.close()
+        return str(run_dir)
+
+    def test_analyze_run_and_index(self, tmp_path, rng):
+        import os
+
+        from juliaraytracingsw_tpu.analysis.suite import (analyze_run,
+                                                          analyze_runs)
+
+        rd1 = self._make_run(tmp_path, "runA", rng)
+        rep, figs = analyze_run(rd1, base="rsw")
+        assert np.isfinite(rep.rossby) and np.isfinite(rep.froude)
+        for f in figs.values():
+            assert os.path.exists(f)
+        assert os.path.exists(os.path.join(rd1, "figures", "plot_data.h5"))
+        # cached second pass returns the same scalars
+        rep2, _ = analyze_run(rd1, base="rsw")
+        assert rep2.rossby == pytest.approx(rep.rossby)
+
+        rd2 = self._make_run(tmp_path, "runB", rng)
+        out = str(tmp_path / "site")
+        reports, idx = analyze_runs([rd1, rd2], base="rsw", out_dir=out,
+                                    max_workers=2)
+        assert os.path.exists(idx)
+        html_text = open(idx).read()
+        assert "runA/runA.html" in html_text and "runB/runB.html" in html_text
+        assert os.path.exists(os.path.join(out, "runA", "runA.html"))
