@@ -8,7 +8,7 @@ import os, time
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from functools import partial

@@ -467,6 +467,68 @@ def cmd_sweep(args):
         subprocess.run(cmd, check=True)
 
 
+def cmd_omega_k(args):
+    """Sharded offline omega-k analysis over a finished run directory —
+    entry point parity with swqg/fourier-analysis/FourierSWQG.jl:116-125
+    (k-range from task id) and rsw/fourier-analysis/FourierRSW.jl:176-190;
+    the --task/--ntasks pair replaces the reference's 64-256-task SLURM
+    arrays over wavenumber (fourier-job.sbatch)."""
+    import h5py
+
+    from ..analysis.omega_k import clean_fft, collect_time_series, hann
+    from ..core.grid import make_grid
+    from ..io.output import SequencedReader
+    from ..models.rsw import RSWParams
+    from ..models.wave_vortex import balanced_wave_bases
+
+    reader = SequencedReader(os.path.join(args.run_dir, args.base))
+    nx = int(reader.read("grid/nx"))
+    Lx = float(reader.read("grid/Lx"))
+    grid = make_grid(nx, Lx=Lx)
+    nkr = grid.nkr
+
+    # k-range for this task (FourierSWQG.jl:117-121: job_size = max_K/ntasks)
+    job = max(nkr // args.ntasks, 1)
+    k_lo = (args.task - 1) * job
+    k_hi = nkr if args.task == args.ntasks else min(args.task * job, nkr)
+    print(f"task {args.task}/{args.ntasks}: k rows [{k_lo}, {k_hi})")
+
+    if args.decompose:
+        f0 = float(reader.read("params/f"))
+        Cg2 = float(reader.read("params/Cg2"))
+        params = RSWParams(nu=0.0, nnu=4, f=f0, Cg2=Cg2)
+        Cg = float(np.sqrt(Cg2))
+        bases = [np.asarray(b)[:, :, k_lo:k_hi]
+                 for b in balanced_wave_bases(grid, params)]
+
+        def extract(snap):
+            # eigen-coefficient rows c0/c+/c- for the task's k block
+            # (FourierRSW.jl:76-162 stores these per k_x row; projection
+            # contracts (u, v, Cg eta) against conj(Phi), RSWUtils.jl:48-54)
+            blk = snap[:, :, k_lo:k_hi]
+            state = np.stack([blk[0], blk[1], Cg * blk[2]])
+            return {name: np.sum(state * np.conj(Phi), axis=0)
+                    for name, Phi in zip(("c0", "cp", "cm"), bases)}
+    else:
+        def extract(snap):
+            return {"sol": snap[..., k_lo:k_hi]}
+
+    t, series = collect_time_series(reader, extract)
+    if len(t) < 4:
+        raise SystemExit("not enough snapshots for a time FFT")
+    w = hann(len(t))
+    os.makedirs(args.out_dir, exist_ok=True)
+    for ki in range(k_lo, k_hi):
+        # per-k file layout radial_data_k=%03d (FourierSWQG.jl:109-112)
+        path = os.path.join(args.out_dir, f"radial_data_k={ki:03d}.h5")
+        with h5py.File(path, "w") as out:
+            out["t"] = t
+            out["k"] = float(np.asarray(grid.kr)[ki])
+            for name, d in series.items():
+                out[name] = clean_fft(t, d[..., ki - k_lo], w)
+    print(f"wrote {k_hi - k_lo} per-k files -> {args.out_dir}")
+
+
 def cmd_analyze(args):
     """Offline analysis suite over one or more finished run directories."""
     if len(args.run_dir) > 1:
@@ -583,6 +645,19 @@ def main(argv=None):
     p.add_argument("--out-dir", default="sweep")
     p.add_argument("--extra-args", default="")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("omega-k",
+                       help="sharded omega-k analysis over a run dir "
+                            "(fourier-analysis job arrays)")
+    p.add_argument("run_dir")
+    p.add_argument("--base", default="rsw")
+    p.add_argument("--task", type=int, default=1, help="1-based task id")
+    p.add_argument("--ntasks", type=int, default=1)
+    p.add_argument("--decompose", action="store_true", default=True,
+                   help="store wave/geo eigen-coefficients c0/c+/c-")
+    p.add_argument("--no-decompose", dest="decompose", action="store_false")
+    p.add_argument("--out-dir", default="omega_k")
+    p.set_defaults(fn=cmd_omega_k)
 
     p = sub.add_parser("analyze", help="offline analysis suite over run dirs")
     p.add_argument("run_dir", nargs="+")

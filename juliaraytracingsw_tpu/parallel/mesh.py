@@ -13,9 +13,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_packets", "replicate", "packet_sharding"]
+__all__ = ["make_mesh", "shard_packets", "replicate", "packet_sharding",
+           "init_distributed"]
 
 PACKET_AXIS = "packets"
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host runtime init (SURVEY.md §5.8: the reference has no
+    distributed backend — its cross-job layer was SLURM arrays + the
+    filesystem; here a pod slice becomes one logical device set).
+
+    Wraps ``jax.distributed.initialize``; args default from the cluster
+    environment (TPU pod metadata / SLURM / coordinator env vars). Call once
+    per process before any jax computation; returns the process index.
+    No-op on a single-process run.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return 0
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialised
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index()
 
 
 def make_mesh(n_devices: int | None = None, axis: str = PACKET_AXIS) -> Mesh:
