@@ -32,14 +32,23 @@ import numpy as np
 from ..core.steppers import Clock, zero_clock
 from ..models.base import Model, build_stepper
 from ..rays.packets import Packets
+from ..rays.patch import build_patch_table
 from ..rays.raytrace import (
     RayParams,
+    _use_patch,
     fields_from_psih,
+    make_pair_table,
     raytrace,
+    raytrace_tables,
     sample_gradients,
     sample_velocity,
 )
-from ..rays.resample import k_cutoff_reset
+from ..rays.resample import (
+    BirthDeathState,
+    init_birth_death,
+    k_cutoff_reset,
+    weibull_birth_death,
+)
 from ..io.output import SequencedWriter, save_problem
 
 __all__ = [
@@ -61,13 +70,18 @@ def derive_nu(nutune: float, nx: int, nnu: int, dt: float) -> float:
 
 
 class SimState(NamedTuple):
-    """Full coupled simulation state — one pytree, one checkpoint unit."""
+    """Full coupled simulation state — one pytree, one checkpoint unit.
+
+    ``bd`` (when birth/death resampling is on) carries the ensemble ages,
+    lifetimes, cumulative birth count AND the PRNG key, so checkpoints are
+    bit-exact including the stochastic stream."""
 
     sol: jax.Array
     clock: Clock
     stepper_state: tuple | NamedTuple
     packets: Packets
     fields: jax.Array   # (5, ny, nx) current interpolation fields
+    bd: BirthDeathState | None = None
 
 
 def make_coupled_frame(
@@ -82,39 +96,80 @@ def make_coupled_frame(
     k0: float | None = None,
     frozen_flow: bool = False,
     dt: float | None = None,
+    remat: bool = False,
+    birth_death: dict | None = None,
 ):
     """Jitted frame: ``flow_steps`` interleaved flow/ray steps.
+
+    ``birth_death`` (optional) = dict(k_shape=..., lam=...) switches on
+    Weibull birth/death resampling of the ensemble each flow step
+    (reference prototype Notebooks/BirthDeathPackets.ipynb cells 1-4;
+    BASELINE config 5 "birth/death packet ensembles"); requires
+    ``SimState.bd`` from rays/resample.init_birth_death.
 
     ``psih_fn(sol) -> psih`` extracts the advecting streamfunction
     (model-specific: PV inversion for RSW, barotropic/baroclinic mean for
     2-layer QG, ...).
+
+    With the patch gather path (RayParams.gather == 'patch', the default)
+    each step builds ONE new patch table for the fresh snapshot and reuses
+    the previous step's table for the old time level, so the table build is
+    amortised over the whole frame.
+
+    ``remat=True`` wraps each interleaved step in ``jax.checkpoint`` so the
+    backward pass through long frames rematerialises the step instead of
+    storing every FFT/gather intermediate (SURVEY.md §5.7: gradients through
+    many coupled steps are the long-context problem here).
     """
     grid = model.grid
+    use_patch = _use_patch(rp)
+    ny, nx = grid.ny, grid.nx
 
     def one(carry, _):
-        sol, clock, sstate, packets, fields_old = carry
+        sol, clock, sstate, packets, fields_old, T_old, bd = carry
         t0 = clock.t
         if frozen_flow:
             # advance only the clock (use_stationary_background_flow,
             # raytracing/RaytracingDriver.jl:257-259)
             clock = Clock(clock.t + dt, clock.step + 1)
-            fields_new = fields_old
+            fields_new, T_new = fields_old, T_old
+            T_pair = make_pair_table(T_old, T_new) if use_patch else ()
         else:
             sol, clock, sstate = step_fn(sol, clock, sstate)
             fields_new = fields_from_psih(psih_fn(sol), grid, rp.interp)
-        packets = raytrace(
-            packets, fields_old, fields_new, t0, clock.t, rp,
-            nsubsteps=ray_substeps, method=ray_method,
-        )
+            T_new = build_patch_table(fields_new, rp.interp) if use_patch else ()
+            T_pair = make_pair_table(T_old, T_new) if use_patch else ()
+        if use_patch:
+            packets = raytrace_tables(
+                packets, T_pair, t0, clock.t, rp,
+                ny, nx, nsubsteps=ray_substeps, method=ray_method,
+            )
+        else:
+            packets = raytrace(
+                packets, fields_old, fields_new, t0, clock.t, rp,
+                nsubsteps=ray_substeps, method=ray_method,
+            )
         if k_cutoff is not None:
             packets = k_cutoff_reset(packets, k_cutoff, k0)
-        return (sol, clock, sstate, packets, fields_new), None
+        if birth_death is not None:
+            packets, bd, _ = weibull_birth_death(
+                packets, bd, clock.t - t0, grid.Lx, grid.Ly, k0,
+                k_shape=birth_death.get("k_shape", 1.5),
+                lam=birth_death.get("lam", 10.0),
+                x0=rp.x0, y0=rp.y0,
+            )
+        return (sol, clock, sstate, packets, fields_new, T_new, bd), None
+
+    if remat:
+        one = jax.checkpoint(one, prevent_cse=False)
 
     @jax.jit
     def frame(sim: SimState) -> SimState:
-        carry = (sim.sol, sim.clock, sim.stepper_state, sim.packets, sim.fields)
+        T0 = build_patch_table(sim.fields, rp.interp) if use_patch else ()
+        carry = (sim.sol, sim.clock, sim.stepper_state, sim.packets,
+                 sim.fields, T0, sim.bd)
         carry, _ = jax.lax.scan(one, carry, None, length=flow_steps)
-        return SimState(*carry)
+        return SimState(*(carry[:5] + (carry[6],)))
 
     return frame
 
@@ -134,7 +189,7 @@ def make_flow_frame(model: Model, step_fn, psih_fn, rp: RayParams, flow_steps: i
             one, (sim.sol, sim.clock, sim.stepper_state), None, length=flow_steps
         )
         fields = fields_from_psih(psih_fn(sol), grid, rp.interp)
-        return SimState(sol, clock, sstate, sim.packets, fields)
+        return SimState(sol, clock, sstate, sim.packets, fields, sim.bd)
 
     return frame
 
@@ -163,6 +218,12 @@ class CoupledDriver:
     k_cutoff: float | None = None
     k0: float | None = None
     frozen_flow: bool = False
+    remat: bool = False
+    # Weibull birth/death resampling (Notebooks/BirthDeathPackets.ipynb)
+    birth_death: bool = False
+    bd_k_shape: float = 1.5
+    bd_lam: float = 10.0
+    bd_seed: int = 0
     # outputs
     snapshot_writer: SequencedWriter | None = None
     packet_writer: SequencedWriter | None = None
@@ -189,12 +250,19 @@ class CoupledDriver:
     def init(self, sol0, packets: Packets, clock: Clock | None = None):
         grid = self.model.grid
         fields = fields_from_psih(self.psih_fn(sol0), grid, self.rp.interp)
+        bd = None
+        if self.birth_death:
+            bd = init_birth_death(
+                jax.random.PRNGKey(self.bd_seed), packets.n,
+                k_shape=self.bd_k_shape, lam=self.bd_lam,
+            )
         self.sim = SimState(
             sol=sol0,
             clock=clock if clock is not None else zero_clock(),
             stepper_state=self._init_fn(sol0),
             packets=packets,
             fields=fields,
+            bd=bd,
         )
         if self.snapshot_writer is not None:
             save_problem(
@@ -212,10 +280,13 @@ class CoupledDriver:
         key = (kind, flow_steps)
         if key not in self._frame_cache:
             if kind == "coupled":
+                bd_cfg = (dict(k_shape=self.bd_k_shape, lam=self.bd_lam)
+                          if self.birth_death else None)
                 self._frame_cache[key] = make_coupled_frame(
                     self.model, self._step_fn, self.psih_fn, self.rp,
                     flow_steps, self.ray_substeps, self.ray_method,
                     self.k_cutoff, self.k0, self.frozen_flow, self.dt,
+                    self.remat, bd_cfg,
                 )
             else:
                 self._frame_cache[key] = make_flow_frame(
@@ -296,6 +367,13 @@ class CoupledDriver:
         self.packet_writer.write_packets(
             int(sim.clock.step), float(sim.clock.t), x=pos, k=wav, u=vel, g=grad
         )
+        if sim.bd is not None:
+            # population telemetry: cumulative rebirths + current age spread
+            step = int(sim.clock.step)
+            self.packet_writer.write(f"p/births/{step}", int(sim.bd.births))
+            self.packet_writer.write(
+                f"p/mean_age/{step}", float(jnp.mean(sim.bd.age))
+            )
 
     def _log(self, i: int):
         sim = self.sim

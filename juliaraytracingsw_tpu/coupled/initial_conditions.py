@@ -27,6 +27,7 @@ __all__ = [
     "band_geo_wave_ic",
     "front_ic",
     "upsample_snapshot",
+    "ty_initial_condition",
 ]
 
 
@@ -88,6 +89,46 @@ def band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=1.5, aw=0.1,
     # purge conjugate-symmetry violations from the random phases
     # (the reference calls enforce_reality_condition! after set_solution!)
     return enforce_reality(sol, grid)
+
+
+def ty_initial_condition(grid, rng, k0g_range=(0, 1), k0w_range=(0, 1),
+                         at=0.0, ag=0.0, aw=0.0):
+    """Eigenbasis-projected random Thomas-Yamada IC (4, nl, nkr).
+
+    Mirrors the reference TYdriver.jl:35-91: independent random phases for
+    the barotropic streamfunction, the geostrophic baroclinic mode (projected
+    on Phi0) and the two wave modes (Phi+ / Phi-), band-limited by
+    ``k0g_range`` / ``k0w_range`` on |K| and normalised so the max physical
+    amplitude of each component family equals (at, ag, aw); the barotropic
+    state variable is zeta = -K^2 psi.
+    """
+    from ..models.thomasyamada import ty_bases
+
+    Krsq = np.asarray(grid.Krsq, np.float64)
+    geo_f = (Krsq >= k0g_range[0] ** 2) & (Krsq <= k0g_range[1] ** 2)
+    wave_f = (Krsq >= k0w_range[0] ** 2) & (Krsq <= k0w_range[1] ** 2)
+
+    def phases():
+        return np.exp(2j * np.pi * rng.random(Krsq.shape))
+
+    Phi0, Phip, Phim = (np.asarray(b, np.complex128) for b in ty_bases(grid))
+
+    psith = phases() * geo_f
+    gh = Phi0 * (phases() * geo_f)[None]          # (3, nl, nkr) (uc, vc, pc)
+    wh = (Phip * phases()[None] + Phim * phases()[None]) * wave_f[None]
+
+    def norm_to(fieldh, target):
+        phys = np.fft.irfft2(fieldh, s=(grid.ny, grid.nx))
+        return target / max(np.abs(phys).max(), 1e-30)
+
+    psith = psith * norm_to(psith, at)
+    gh = gh * norm_to(gh[0], ag)
+    wh = wh * norm_to(wh[0], aw)
+
+    zth = -Krsq * psith
+    sol = np.stack([zth, gh[0] + wh[0], gh[1] + wh[1], gh[2] + wh[2]])
+    from ..core.transfer import to_device
+    return enforce_reality(to_device(sol, np.complex64), grid)
 
 
 def front_ic(grid, rng, n_waves=10, aw=0.1, f=3.0, Cg=1.0):

@@ -59,7 +59,13 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bspline"])
     p.add_argument("--frozen-flow", action="store_true")
-    p.add_argument("--birth-death", action="store_true")
+    p.add_argument("--birth-death", action="store_true",
+                   help="Weibull birth/death ensemble resampling "
+                        "(Notebooks/BirthDeathPackets.ipynb)")
+    p.add_argument("--bd-k-shape", type=float, default=1.5,
+                   help="Weibull shape parameter of packet lifetimes")
+    p.add_argument("--bd-lam", type=float, default=10.0,
+                   help="Weibull scale (mean lifetime) of packets")
 
 
 def _setup(args):
@@ -101,6 +107,8 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
         k_cutoff=100.0 * f / Cg,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
         frozen_flow=args.frozen_flow,
+        birth_death=args.birth_death, bd_k_shape=args.bd_k_shape,
+        bd_lam=args.bd_lam, bd_seed=args.seed,
         snapshot_writer=snap_w, packet_writer=pkt_w,
         diagnostics=diagnostics,
     )
@@ -230,46 +238,40 @@ def cmd_twolayer(args):
 
 
 def cmd_thomasyamada(args):
-    from ..coupled.initial_conditions import random_band_psih
-    from ..core.steppers import zero_clock
-    from ..io.output import SequencedWriter, save_problem
-    from ..models import thomasyamada
-    from ..models.base import build_stepper, run
-    from ..core.transfer import to_host
-    import jax.numpy as jnp
+    """Two-phase Thomas-Yamada run (TYdriver.jl:111-231): eigenbasis-
+    projected random IC (or restart-from-file), coarse-dt startup, fine-dt
+    main phase, per-frame wave/geo energy diagnostics."""
+    if args.platform:
+        import jax
 
-    grid, dt, nu, rng = _setup(args)
-    model = thomasyamada.make_model(grid, nu=args.ty_nu, nnu=args.ty_nnu,
-                                    Ro=args.Ro)
-    # basis-projected random IC (TYdriver.jl:35-91): random baroclinic field
-    # projected onto wave/geo eigen-structure + barotropic band noise
-    sol0 = jnp.stack([
-        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
-        for _ in range(4)
-    ])
+        jax.config.update("jax_platforms", args.platform)
+    from ..coupled.ty_driver import TYRunConfig, run_thomasyamada
+    from ..models import thomasyamada
+    from ..core.grid import make_grid
+
+    grid = make_grid(args.nx, Lx=args.L)
     stepper = args.stepper if args.stepper != "IFMAB3" else "ETDRK4"
-    init_fn, step_fn = build_stepper(model, stepper, dt,
-                                     use_filter=args.use_filter)
-    state = init_fn(sol0)
-    clock = zero_clock()
-    writer = SequencedWriter(os.path.join(args.out_dir,
-                                          args.base_filename or "ty"),
-                             args.max_writes)
-    save_problem(writer, grid, model.params, dt)
-    sol = sol0
-    nframes = max(int(args.T / args.output_dt), 1)
-    steps_per = max(int(args.output_dt / dt), 1)
-    for i in range(nframes):
-        sol, clock, state = run(step_fn, sol, clock, state, steps_per)
-        writer.write_frame(int(clock.step), sol=to_host(sol))
-        writer.write(f"snapshots/t/{int(clock.step)}", float(clock.t))
-        if not np.isfinite(to_host(sol[0]).real).all():
-            print("NaN detected; aborting")
-            break
-    writer.close()
+    dt = args.ty_dt
+    cfg = TYRunConfig(
+        nx=args.nx, Lx=args.L, nu=args.ty_nu, nnu=args.ty_nnu, Ro=args.Ro,
+        stepper=stepper,
+        startup_dt=dt * args.startup_dt_factor,
+        startup_nsteps=int(args.startup_T / (dt * args.startup_dt_factor)),
+        startup_nsubs=max(int(args.output_dt / (dt * args.startup_dt_factor)), 1),
+        dt=dt,
+        nsteps=int(args.T / dt),
+        nsubs=max(int(args.output_dt / dt), 1),
+        k0g_range=tuple(args.Kg), k0w_range=tuple(args.Kw),
+        at=args.at, ag=args.ag, aw=args.aw, seed=args.seed,
+        restart_file=args.restart_file, restart_frame=args.restart_frame,
+        out_dir=args.out_dir, base_filename=args.base_filename or "ty",
+        max_writes=args.max_writes,
+    )
+    sol, clock, diags = run_thomasyamada(cfg)
     ke, pe = thomasyamada.baroclinic_energy(sol, grid)
     print(f"done: t={float(clock.t):.3f} baroclinic KE={float(ke):.4g} "
-          f"PE={float(pe):.4g}")
+          f"PE={float(pe):.4g} wave KE={diags['wave_ke'][-1]:.4g} "
+          f"geo KE={diags['geo_ke'][-1]:.4g}")
 
 
 def cmd_steady_raytracing(args):
@@ -428,6 +430,8 @@ def cmd_single_wave(args):
         snapshot_writer=snap_w, packet_writer=pkt_w, diagnostics=diags,
     )
     drv.init(sol0, packets)
+    if args.restore:
+        drv.restore(args.restore)
     drv.spinup(int(args.spinup_T / dt))
     # inject after spinup into the geostrophic part (:87-105)
     drv.sim = drv.sim._replace(sol=inject_single_wave(
@@ -437,6 +441,8 @@ def cmd_single_wave(args):
     frames = max(int((args.T - args.spinup_T) / args.output_dt), 1)
     drv.run(frames, max(int(args.output_dt / dt), 1))
     drv.save_diagnostics(os.path.join(args.out_dir, "diagnostics.h5"))
+    if args.checkpoint:
+        drv.checkpoint(args.checkpoint)
     drv.close()
     print(f"done: t={float(drv.sim.clock.t):.3f}, {frames} frames")
 
@@ -493,7 +499,41 @@ def cmd_omega_k(args):
     k_hi = nkr if args.task == args.ntasks else min(args.task * job, nkr)
     print(f"task {args.task}/{args.ntasks}: k rows [{k_lo}, {k_hi})")
 
-    if args.decompose:
+    complex_rows = {}
+    if args.model == "ty":
+        # Thomas-Yamada rows: barotropic (ut, vt) from zeta_t, wave/geo-
+        # projected baroclinic (ug, vg, uw, vw), and complex U = u + i v
+        # whose one-sided FFT separates +/- frequency branches
+        # (thomasyamada/TY_k_omega.jl:78-107)
+        from ..models.thomasyamada import ty_bases
+
+        invK = np.asarray(grid.invKrsq)[:, k_lo:k_hi]
+        kr_b = np.asarray(grid.kr)[None, k_lo:k_hi]
+        ell = np.asarray(grid.l)[:, None]
+        Phi0, Phip, Phim = (np.asarray(b)[:, :, k_lo:k_hi]
+                            for b in ty_bases(grid))
+
+        def extract(snap):
+            blk = snap[:, :, k_lo:k_hi]
+            psit = -blk[0] * invK
+            bc = blk[1:4]
+            c0 = np.sum(bc * np.conj(Phi0), axis=0)
+            cp = np.sum(bc * np.conj(Phip), axis=0)
+            cm = np.sum(bc * np.conj(Phim), axis=0)
+            Gh = c0[None] * Phi0
+            Wh = cp[None] * Phip + cm[None] * Phim
+            return {
+                "ut": -1j * ell * psit, "vt": 1j * kr_b * psit,
+                "ug": Gh[0], "vg": Gh[1], "uw": Wh[0], "vw": Wh[1],
+            }
+
+        complex_rows = {
+            "U_balanced": lambda s: (s["ut"] + s["ug"]) + 1j * (s["vt"] + s["vg"]),
+            "U_wave": lambda s: s["uw"] + 1j * s["vw"],
+            "U_total": lambda s: (s["ut"] + s["ug"] + s["uw"])
+            + 1j * (s["vt"] + s["vg"] + s["vw"]),
+        }
+    elif args.decompose:
         f0 = float(reader.read("params/f"))
         Cg2 = float(reader.read("params/Cg2"))
         params = RSWParams(nu=0.0, nnu=4, f=f0, Cg2=Cg2)
@@ -518,6 +558,11 @@ def cmd_omega_k(args):
         raise SystemExit("not enough snapshots for a time FFT")
     w = hann(len(t))
     os.makedirs(args.out_dir, exist_ok=True)
+    wsh = w.reshape((len(t),) + (1,) * (series[next(iter(series))].ndim - 1))
+    # window-only FFT so the +/- frequency asymmetry of the complex
+    # velocity survives (TY_k_omega.jl:105-107)
+    u_ffts = {name: np.fft.fft(wsh * fn(series), axis=0)
+              for name, fn in complex_rows.items()}
     for ki in range(k_lo, k_hi):
         # per-k file layout radial_data_k=%03d (FourierSWQG.jl:109-112)
         path = os.path.join(args.out_dir, f"radial_data_k={ki:03d}.h5")
@@ -526,6 +571,8 @@ def cmd_omega_k(args):
             out["k"] = float(np.asarray(grid.kr)[ki])
             for name, d in series.items():
                 out[name] = clean_fft(t, d[..., ki - k_lo], w)
+            for name, Uf in u_ffts.items():
+                out[name] = Uf[..., ki - k_lo]
     print(f"wrote {k_hi - k_lo} per-k files -> {args.out_dir}")
 
 
@@ -586,13 +633,29 @@ def main(argv=None):
                    help="advect packets with the baroclinic streamfunction")
     p.set_defaults(fn=cmd_twolayer)
 
-    p = sub.add_parser("thomasyamada", help="Thomas-Yamada run")
+    p = sub.add_parser("thomasyamada",
+                       help="two-phase Thomas-Yamada run (TYdriver.jl)")
     _add_common(p)
     p.add_argument("--Ro", type=float, default=0.2)
     p.add_argument("--ty-nu", type=float, default=3.5e-25)
     p.add_argument("--ty-nnu", type=int, default=8)
-    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6))
+    p.add_argument("--ty-dt", type=float, default=1e-3,
+                   help="fine (main-phase) time step")
+    p.add_argument("--startup-dt-factor", type=float, default=5.0,
+                   help="coarse startup dt = factor * dt (TYdriver two-phase)")
+    p.add_argument("--startup-T", type=float, default=1.0,
+                   help="model time integrated in the coarse startup phase")
+    p.add_argument("--Kg", type=float, nargs=2, default=(2, 6),
+                   help="geostrophic IC band k0g_range")
+    p.add_argument("--Kw", type=float, nargs=2, default=(0, 4),
+                   help="wave IC band k0w_range")
+    p.add_argument("--at", type=float, default=0.1,
+                   help="barotropic streamfunction amplitude")
     p.add_argument("--ag", type=float, default=0.1)
+    p.add_argument("--aw", type=float, default=0.05)
+    p.add_argument("--restart-file", default=None,
+                   help="resume from a finished run's snapshot base path")
+    p.add_argument("--restart-frame", type=int, default=None)
     p.set_defaults(fn=cmd_thomasyamada)
 
     p = sub.add_parser("steady-raytracing",
@@ -651,6 +714,9 @@ def main(argv=None):
                             "(fourier-analysis job arrays)")
     p.add_argument("run_dir")
     p.add_argument("--base", default="rsw")
+    p.add_argument("--model", default="rsw", choices=["rsw", "ty"],
+                   help="ty: TY wave/geo rows + complex-U +/- separation "
+                        "(TY_k_omega.jl:99-107)")
     p.add_argument("--task", type=int, default=1, help="1-based task id")
     p.add_argument("--ntasks", type=int, default=1)
     p.add_argument("--decompose", action="store_true", default=True,

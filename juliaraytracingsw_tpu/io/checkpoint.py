@@ -1,11 +1,12 @@
 """Bit-exact checkpoint/resume of coupled simulations.
 
-Saves the FULL integration state — spectral solution, stepper AB3 history
-(N_{-1}, N_{-2}), packet ensemble, clock and RNG key — so a resumed run
-continues the exact trajectory. This fixes the reference's restart
-discontinuity, where snapshots double as checkpoints but the AB3 history is
-lost and the stepper re-bootstraps with forward-Euler steps
-(SURVEY.md §5.4; utils/IFMAB3.jl:130).
+Saves the FULL integration state pytree — spectral solution, stepper AB3
+history (N_{-1}, N_{-2}), packet ensemble, clock, and (when birth/death
+resampling is active) the BirthDeathState including its PRNG key — so a
+resumed run continues the exact trajectory AND the exact stochastic stream.
+This fixes the reference's restart discontinuity, where snapshots double as
+checkpoints but the AB3 history is lost and the stepper re-bootstraps with
+forward-Euler steps (SURVEY.md §5.4; utils/IFMAB3.jl:130).
 """
 from __future__ import annotations
 

@@ -27,10 +27,10 @@ reference's texture clamp semantics under extreme velocities).
 
 Accuracy classes (same formulas as rays/interp.py):
   - 'bilinear': 4x4 patch (taps -1..2), local bilinear.
-  - 'bspline' : 5x5 patch of B-spline *coefficients* (spectrally
+  - 'bspline' : 6x6 patch of B-spline *coefficients* (spectrally
     prefiltered, see interp.bspline_prefilter), local cubic B-spline —
     exact C2 interpolation matching the reference CPU path
-    (raytracing/Raytracing.jl:152-159). 5*25=125 values still fit one row.
+    (raytracing/Raytracing.jl:152-159).
 """
 from __future__ import annotations
 
@@ -46,9 +46,12 @@ __all__ = [
 ]
 
 # interp method -> (patch height, patch width, lo offset of tap grid)
+# Window sizes cover local offsets in [-1, 2) EXACTLY (taps floor-1..floor+2
+# for the cubic, floor..floor+1 for bilinear), i.e. packets may drift a full
+# cell within one substep before the clamped polynomial extension kicks in.
 PATCH_SHAPES = {
     "bilinear": (4, 4, 1),
-    "bspline": (5, 5, 2),
+    "bspline": (6, 6, 2),
 }
 
 
@@ -100,8 +103,14 @@ def _bspline_w4(a):
 
 def _axis_weights_bspline(local, size, lo):
     """Cubic B-spline weights over 4 taps at floor(local)-1 .. floor(local)+2,
-    expressed over the full patch axis of length ``size``."""
-    j0 = jnp.clip(jnp.floor(local), -(lo - 1), size - lo - 2)
+    expressed over the full patch axis of length ``size``.
+
+    j0 is clipped so the highest tap slot j0+lo+2 stays <= size-1; outside
+    the covered range the local cubic piece extends polynomially — a
+    continuous (and differentiable) safety net for packets that drift more
+    than the patch margin within one substep (error O(drift^3), CFL-guarded).
+    """
+    j0 = jnp.clip(jnp.floor(local), -(lo - 1), size - lo - 3)
     a = local - j0
     ws = _bspline_w4(a)                            # 4 x (N,)
     base = (j0 + lo - 1)[:, None].astype(jnp.int32)  # first tap slot
@@ -112,9 +121,8 @@ def _axis_weights_bspline(local, size, lo):
     return w
 
 
-@partial(jax.jit, static_argnames=("method", "F"))
-def patch_interpolate(patches, local_x, local_y, method: str = "bilinear",
-                      F: int = 5):
+@partial(jax.jit, static_argnames=("method",))
+def patch_interpolate(patches, local_x, local_y, method: str = "bilinear"):
     """Evaluate all F fields from packed patches at local offsets.
 
     patches  : (N, F*ph*pw) rows gathered from build_patch_table
@@ -123,6 +131,7 @@ def patch_interpolate(patches, local_x, local_y, method: str = "bilinear",
     """
     ph, pw, lo = PATCH_SHAPES[method]
     N = patches.shape[0]
+    F = patches.shape[1] // (ph * pw)
     P = patches.reshape(N, F, ph, pw)
     if method == "bilinear":
         wx = _axis_weights_bilinear(local_x, pw, lo)

@@ -15,11 +15,24 @@ texture set by a (raytracing/GPURaytracing.jl:33,52-64) while drivers pass
 (old, new) — a time-reversed blend; we implement the intended physics and
 pin it with a regression test (SURVEY.md §7 "hard parts").
 
-TPU design: packets are structure-of-arrays; each integrator stage blends
-the full field stacks once (streaming VPU work, ~MBs) and then performs ONE
-batched gather for all 5 fields (rays/interp.py) — this is cheaper than
-per-packet double interpolation as soon as N_packets is comparable to the
-grid size. Substeps run under ``lax.scan``; everything is differentiable.
+TPU design: packets are structure-of-arrays. Two gather strategies, chosen
+by ``RayParams.gather``:
+
+- ``"patch"`` (default, fast): once per (fields_old, fields_new) pair the
+  flow fields are packed into per-cell *patch tables* (rays/patch.py) whose
+  row c holds the full interpolation neighborhood of cell c for all 5
+  fields. Each substep then costs ONE row-gather per time level (TPU
+  scattered gathers cost ~13 ns *per index* with up to 128 lanes of row
+  width riding free — measured in benchmarks/profiling/); every RK stage
+  interpolates locally from the in-register patch with pure VPU math.
+  Because interpolation is linear in the patch values, the time blend is
+  applied to the *interpolated results*, not the 80-wide rows.
+- ``"taps"`` (reference semantics, slow): one global gather per tap per
+  stage, blending full gridded field stacks — kept as the correctness
+  oracle; the patch path is pinned to it by tests.
+
+Substeps run under ``lax.scan``; everything is differentiable (row-gathers
+transpose to scatter-adds).
 """
 from __future__ import annotations
 
@@ -33,6 +46,7 @@ from ..core.spectral import irfft2, spectral_gradients
 from .dispersion import group_velocity
 from .interp import bspline_prefilter_mask, interpolate
 from .packets import Packets
+from .patch import PATCH_SHAPES, build_patch_table, patch_interpolate
 
 __all__ = [
     "RayParams",
@@ -53,7 +67,8 @@ class RayParams(NamedTuple):
     y0: float
     dx: float
     dy: float
-    interp: str = "bilinear"   # 'bilinear' | 'bspline'
+    interp: str = "bilinear"   # 'bilinear' | 'bspline' | 'bicubic'
+    gather: str = "patch"      # 'patch' (fast) | 'taps' (oracle)
 
 
 def _maybe_prefilter(stackh, grid, interp: str):
@@ -98,10 +113,10 @@ def blend(fields_old, fields_new, a):
     return (1.0 - a) * fields_old + a * fields_new
 
 
-def _rhs(p: Packets, fields, rp: RayParams):
-    vals = interpolate(
-        fields, p.x, p.y, rp.x0, rp.y0, rp.dx, rp.dy, method=rp.interp
-    )
+def _rhs(p: Packets, sample, a, rp: RayParams):
+    """WKB ray RHS; ``sample(x, y, a) -> (5, N)`` interpolated fields at
+    relative time a."""
+    vals = sample(p.x, p.y, a)
     u, v, ux, uy, vx = vals[0], vals[1], vals[2], vals[3], vals[4]
     cgx, cgy = group_velocity(p.k, p.l, rp.f, rp.Cg, p.sign)
     dx = u + cgx
@@ -109,6 +124,55 @@ def _rhs(p: Packets, fields, rp: RayParams):
     dk = -(ux * p.k + vx * p.l)
     dl = -(uy * p.k - ux * p.l)  # vy = -ux
     return Packets(dx, dy, dk, dl, jnp.zeros_like(p.sign))
+
+
+def _make_taps_sampler(fields_old, fields_new, rp: RayParams):
+    """Global-gather sampler: blend full field stacks, one gather per call."""
+
+    def sample(qx, qy, a):
+        F = blend(fields_old, fields_new, a)
+        return interpolate(F, qx, qy, rp.x0, rp.y0, rp.dx, rp.dy,
+                           method=rp.interp)
+
+    return sample
+
+
+def make_pair_table(T_old, T_new):
+    """Concatenate two per-snapshot patch tables into one (R, 2W) pair table
+    so each substep costs ONE row-gather total: on TPU a scattered gather is
+    index-count-bound (~13-18 ns/row regardless of row width up to ~160
+    lanes; benchmarks/profiling/prof_patch_path.py measured 18 ms for one
+    1Mx160 take vs 27 ms for two 1Mx80 takes)."""
+    return jnp.concatenate([T_old, T_new], axis=1)
+
+
+def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
+                        ny: int, nx: int):
+    """Patch sampler for one substep: ONE row-gather (both time levels) at
+    the substep's start positions; stages interpolate locally (VPU only) and
+    blend the interpolated *values* in time (valid because interpolation is
+    linear in the patch data)."""
+    fi_x = (p.x - rp.x0) / rp.dx
+    fi_y = (p.y - rp.y0) / rp.dy
+    bx = jnp.floor(fi_x)
+    by = jnp.floor(fi_y)
+    cell = (
+        jnp.remainder(by.astype(jnp.int32), ny) * nx
+        + jnp.remainder(bx.astype(jnp.int32), nx)
+    )
+    rows = jnp.take(T_pair, cell, axis=0)
+    W = rows.shape[1] // 2
+    rows_old, rows_new = rows[:, :W], rows[:, W:]
+    method = rp.interp
+
+    def sample(qx, qy, a):
+        lx = (qx - rp.x0) / rp.dx - bx
+        ly = (qy - rp.y0) / rp.dy - by
+        vo = patch_interpolate(rows_old, lx, ly, method=method)
+        vn = patch_interpolate(rows_new, lx, ly, method=method)
+        return (1.0 - a) * vo + a * vn
+
+    return sample
 
 
 def _axpy(p: Packets, d: Packets, h):
@@ -141,35 +205,65 @@ _DP_A = (
 _DP_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
 
 
-def _step(p: Packets, blend_fields, a0, da, h, rp: RayParams, method: str):
+def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
     """One substep from relative time a0 (in [0,1] units of the flow step);
-    da = h / (t1 - t0)."""
+    da = h / (t1 - t0). ``sample(x, y, a)`` interpolates the 5 fields."""
     if method == "rk4":
-        F0 = blend_fields(a0)
-        Fh = blend_fields(a0 + 0.5 * da)
-        F1 = blend_fields(a0 + da)
-        k1 = _rhs(p, F0, rp)
-        k2 = _rhs(_axpy(p, k1, 0.5 * h), Fh, rp)
-        k3 = _rhs(_axpy(p, k2, 0.5 * h), Fh, rp)
-        k4 = _rhs(_axpy(p, k3, h), F1, rp)
+        k1 = _rhs(p, sample, a0, rp)
+        k2 = _rhs(_axpy(p, k1, 0.5 * h), sample, a0 + 0.5 * da, rp)
+        k3 = _rhs(_axpy(p, k2, 0.5 * h), sample, a0 + 0.5 * da, rp)
+        k4 = _rhs(_axpy(p, k3, h), sample, a0 + da, rp)
         return _lincomb(p, (k1, k2, k3, k4), (1 / 6, 1 / 3, 1 / 3, 1 / 6), h)
     if method == "dopri5":
         ks = []
         for ci, ai in zip(_DP_C, _DP_A):
-            Fi = blend_fields(a0 + ci * da)
             q = _lincomb(p, ks, ai, h) if ai else p
-            ks.append(_rhs(q, Fi, rp))
+            ks.append(_rhs(q, sample, a0 + ci * da, rp))
         return _lincomb(p, ks, _DP_B, h)
     if method == "midpoint":
         # implicit midpoint via fixed-point iteration (symplectic; the
         # reference CPU path uses ImplicitMidpoint, raytracing/Raytracing.jl:109)
-        Fm = blend_fields(a0 + 0.5 * da)
-        d = _rhs(p, Fm, rp)
+        am = a0 + 0.5 * da
+        d = _rhs(p, sample, am, rp)
         for _ in range(4):
             mid = _axpy(p, d, 0.5 * h)
-            d = _rhs(mid, Fm, rp)
+            d = _rhs(mid, sample, am, rp)
         return _axpy(p, d, h)
     raise ValueError(f"unknown ray integrator {method!r}")
+
+
+def _use_patch(rp: RayParams) -> bool:
+    return rp.gather == "patch" and rp.interp in PATCH_SHAPES
+
+
+@partial(jax.jit, static_argnames=("nsubsteps", "method", "rp", "ny", "nx"))
+def raytrace_tables(
+    packets: Packets,
+    T_pair,
+    t0,
+    t1,
+    rp: RayParams,
+    ny: int,
+    nx: int,
+    nsubsteps: int = 1,
+    method: str = "rk4",
+) -> Packets:
+    """Patch-table fast path: advance packets through a pre-built (old|new)
+    pair table (see rays/patch.build_patch_table + make_pair_table). Used by
+    the coupled frame so the per-snapshot table build is amortised over all
+    substeps/flow steps."""
+    h = (t1 - t0) / nsubsteps
+    da = 1.0 / nsubsteps
+
+    def body(p, i):
+        a0 = i * da
+        sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
+        return _step(p, sample, a0, da, h, rp, method), None
+
+    packets, _ = jax.lax.scan(
+        body, packets, jnp.arange(nsubsteps, dtype=packets.x.dtype)
+    )
+    return packets
 
 
 @partial(jax.jit, static_argnames=("nsubsteps", "method", "rp"))
@@ -186,17 +280,23 @@ def raytrace(
     """Advance packets from t0 to t1 through linearly-blended flow fields.
 
     Equivalent of the reference ``raytrace!`` (raytracing/GPURaytracing.jl:115-142)
-    with fixed substeps in place of adaptive Vern7 (SURVEY.md §7 stance).
+    with fixed substeps in place of adaptive Vern7 (SURVEY.md §7 stance;
+    the embedded adaptive mode lives in raytrace_adaptive below).
     """
+    _, ny, nx = fields_old.shape
+    if _use_patch(rp):
+        T_pair = make_pair_table(build_patch_table(fields_old, rp.interp),
+                                 build_patch_table(fields_new, rp.interp))
+        return raytrace_tables(packets, T_pair,
+                               t0, t1, rp, ny, nx, nsubsteps, method)
+
     h = (t1 - t0) / nsubsteps
     da = 1.0 / nsubsteps
-
-    def blend_fields(a):
-        return blend(fields_old, fields_new, a)
+    sample = _make_taps_sampler(fields_old, fields_new, rp)
 
     def body(p, i):
         a0 = i * da
-        return _step(p, blend_fields, a0, da, h, rp, method), None
+        return _step(p, sample, a0, da, h, rp, method), None
 
     packets, _ = jax.lax.scan(
         body, packets, jnp.arange(nsubsteps, dtype=fields_old.dtype)

@@ -40,7 +40,9 @@ def k_cutoff_reset(p: Packets, k_cutoff: float, k0: float) -> Packets:
 class BirthDeathState(NamedTuple):
     age: jax.Array       # (N,) current packet age
     lifetime: jax.Array  # (N,) sampled Weibull lifetime
-    key: jax.Array       # PRNG key
+    key: jax.Array       # PRNG key (checkpointed with the SimState so
+                         # resumed runs continue the exact stochastic stream)
+    births: jax.Array    # () cumulative rebirth count (population telemetry)
 
 
 def _weibull(key, shape, k_shape, lam):
@@ -57,7 +59,8 @@ def init_birth_death(key, n, k_shape: float = 1.5, lam: float = 10.0, stagger: b
     age = jnp.where(
         stagger, jax.random.uniform(k2, (n,)) * lifetime, jnp.zeros((n,))
     )
-    return BirthDeathState(age=age, lifetime=lifetime, key=k3)
+    return BirthDeathState(age=age, lifetime=lifetime, key=k3,
+                           births=jnp.zeros((), jnp.int32))
 
 
 def weibull_birth_death(
@@ -98,5 +101,6 @@ def weibull_birth_death(
         age=jnp.where(dead, 0.0, age),
         lifetime=jnp.where(dead, new_life, state.lifetime),
         key=key,
+        births=state.births + jnp.sum(dead).astype(jnp.int32),
     )
     return out, new_state, dead

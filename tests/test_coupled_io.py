@@ -29,7 +29,7 @@ from juliaraytracingsw_tpu.rays.packets import lattice_packets
 from juliaraytracingsw_tpu.rays.raytrace import RayParams
 
 
-def make_rsw_driver(tmp_path, g, with_outputs=True, frozen=False):
+def make_rsw_driver(tmp_path, g, with_outputs=True, frozen=False, **extra):
     f, Cg = 3.0, 1.0
     dt = 2e-3
     nu = derive_nu(1.0, g.nx, 4, dt)
@@ -56,6 +56,7 @@ def make_rsw_driver(tmp_path, g, with_outputs=True, frozen=False):
             "potential_energy": lambda s, g_, p: rsw.potential_energy(s, g_, p),
         },
         log_fn=lambda *a: None,
+        **extra,
     )
     return drv
 
@@ -138,6 +139,55 @@ class TestCoupledDriver:
         drv2.run(n_frames=3, flow_steps_per_frame=2)
         np.testing.assert_array_equal(np.asarray(drv2.sim.sol), ref_sol)
         np.testing.assert_array_equal(np.asarray(drv2.sim.packets.x), ref_x)
+
+
+class TestBirthDeathProduction:
+    def test_coupled_run_with_births(self, tmp_path, rng):
+        """Birth/death wired into the coupled frame: short lifetimes force
+        rebirths; population telemetry written; reborn packets carry k0
+        (BirthDeathPackets.ipynb cells 1-4 -> production)."""
+        g = make_grid(32)
+        drv = make_rsw_driver(tmp_path, g, birth_death=True, bd_lam=0.02,
+                              bd_k_shape=1.5)
+        sol0 = band_geo_wave_ic(g, rng, Kg=(4, 6), Kw=(0, 3), ag=0.3,
+                                aw=0.05, f=3.0, Cg=1.0)
+        drv.init(sol0, lattice_packets(4, g.Lx, g.Ly, k0=5.0, k_ring=True))
+        assert drv.sim.bd is not None
+        drv.run(n_frames=6, flow_steps_per_frame=4)
+        drv.close()
+        births = int(drv.sim.bd.births)
+        assert births > 0, "no rebirths with mean lifetime << run length"
+        # telemetry recorded
+        preader = SequencedReader(str(tmp_path / "packets"))
+        steps = preader.steps("p/births")
+        assert len(steps) == 6
+        assert int(preader.read(f"p/births/{steps[-1]}")) == births
+
+    def test_checkpoint_resumes_stochastic_stream(self, tmp_path, rng):
+        """Checkpoint/resume is bit-exact INCLUDING the birth/death PRNG key:
+        the resumed run reproduces the original rebirth sequence."""
+        g = make_grid(32)
+        kw = dict(with_outputs=False, birth_death=True, bd_lam=0.05)
+        drv = make_rsw_driver(tmp_path, g, **kw)
+        sol0 = band_geo_wave_ic(g, rng, Kg=(4, 6), Kw=(0, 3), ag=0.3,
+                                aw=0.05, f=3.0, Cg=1.0)
+        pk = lattice_packets(4, g.Lx, g.Ly, k0=5.0, k_ring=True)
+        drv.init(sol0, pk)
+        drv.run(n_frames=3, flow_steps_per_frame=2)
+        ckpt = str(tmp_path / "bd_state.npz")
+        drv.checkpoint(ckpt)
+        drv.run(n_frames=4, flow_steps_per_frame=2)
+        ref_x = np.asarray(drv.sim.packets.x)
+        ref_births = int(drv.sim.bd.births)
+        ref_key = np.asarray(drv.sim.bd.key)
+
+        drv2 = make_rsw_driver(tmp_path, g, **kw)
+        drv2.init(sol0, pk)
+        drv2.restore(ckpt)
+        drv2.run(n_frames=4, flow_steps_per_frame=2)
+        np.testing.assert_array_equal(np.asarray(drv2.sim.packets.x), ref_x)
+        assert int(drv2.sim.bd.births) == ref_births
+        np.testing.assert_array_equal(np.asarray(drv2.sim.bd.key), ref_key)
 
 
 class TestICs:

@@ -146,6 +146,46 @@ class TestRays:
         assert np.isfinite(np.asarray(out.k)).all()
         assert drift.max() < 2e-3, drift.max()
 
+    @pytest.mark.parametrize("interp", ["bilinear", "bspline"])
+    def test_patch_gather_matches_taps(self, rng, interp):
+        """The patch-table fast path (one row-gather per substep) must track
+        the global-gather oracle through an evolving flow."""
+        g = make_grid(64)
+        psih0 = band_limited_psih(g, rng, amp=0.05)
+        psih1 = band_limited_psih(g, rng, amp=0.05)
+        f0 = fields_from_psih(psih0, g, interp=interp)
+        f1 = fields_from_psih(psih1, g, interp=interp)
+        p = lattice_packets(6, g.Lx, g.Ly, k0=6.0, k_ring=True)
+        base = dict(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                    dx=g.dx, dy=g.dy, interp=interp)
+        out_p = raytrace(p, f0, f1, 0.0, 0.5,
+                         RayParams(**base, gather="patch"), nsubsteps=16)
+        out_t = raytrace(p, f0, f1, 0.0, 0.5,
+                         RayParams(**base, gather="taps"), nsubsteps=16)
+        for a, b in zip(out_p[:4], out_t[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_patch_gather_gradients_match(self, rng):
+        """d(loss)/d(fields) must agree between patch and taps paths (the
+        row-gather transposes to a scatter-add)."""
+        g = make_grid(32)
+        psih = band_limited_psih(g, rng, amp=0.05)
+        fields = fields_from_psih(psih, g)
+        p = lattice_packets(3, g.Lx, g.Ly, k0=6.0)
+        base = dict(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                    dx=g.dx, dy=g.dy)
+
+        def loss(fl, gather):
+            rp = RayParams(**base, gather=gather)
+            out = raytrace(p, fl, fl, 0.0, 0.2, rp, nsubsteps=4)
+            return jnp.mean(out.k ** 2 + out.x ** 2)
+
+        gp = jax.grad(lambda fl: loss(fl, "patch"))(fields)
+        gt = jax.grad(lambda fl: loss(fl, "taps"))(fields)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gt),
+                                   rtol=1e-3, atol=1e-6)
+
     def test_time_blend_convention(self):
         """At a=0 rays see the OLD field; at a=1 the NEW field (regression
         pin for the reference's inverted alpha, GPURaytracing.jl:33)."""
