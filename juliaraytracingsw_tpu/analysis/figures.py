@@ -7,6 +7,11 @@ Pi(k), PV / divergence snapshot heatmaps, omega-k heatmaps
 (analysis/Notebooks/MakeOmegaKPlots.jl), packet KDE evolution.
 
 All functions take data, return the saved figure path.
+
+THREAD SAFETY: figures are built with the matplotlib object-oriented API
+(Figure + FigureCanvasAgg), NOT pyplot — the global pyplot/Gcf state machine
+is not thread-safe, and analysis.suite.analyze_runs renders runs from a
+thread pool.
 """
 from __future__ import annotations
 
@@ -20,30 +25,28 @@ __all__ = [
 ]
 
 
-def _plt():
-    import matplotlib
+def _figure(nrows=1, ncols=1, figsize=(7, 4)):
+    """Thread-safe figure construction: pure OO API, no pyplot/Gcf."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    return plt
+    fig = Figure(figsize=figsize)
+    FigureCanvasAgg(fig)
+    axes = fig.subplots(nrows, ncols)
+    return fig, axes
 
 
 def _save(fig, out_dir, name):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, name)
     fig.savefig(path, dpi=120, bbox_inches="tight")
-    import matplotlib.pyplot as plt
-
-    plt.close(fig)
     return path
 
 
 def plot_energy_series(t, series: dict, out_dir, name="energy_series.png",
                        title="Energy diagnostics"):
     """series: name -> (T,) array (RSWAnalysisSuite.jl:249-264)."""
-    plt = _plt()
-    fig, ax = plt.subplots(figsize=(7, 4))
+    fig, ax = _figure(figsize=(7, 4))
     for label, vals in series.items():
         ax.plot(t, np.asarray(vals), label=label)
     ax.set_xlabel("t")
@@ -57,8 +60,7 @@ def plot_radial_spectra(radii, spectra: dict, out_dir,
                         name="radial_spectra.png", guides=(-2.0, -3.0)):
     """Log-log isotropic spectra with k^slope guide lines
     (RSWAnalysisSuite.jl:355-364)."""
-    plt = _plt()
-    fig, ax = plt.subplots(figsize=(6, 5))
+    fig, ax = _figure(figsize=(6, 5))
     for label, spec in spectra.items():
         ax.loglog(radii, np.maximum(np.asarray(spec), 1e-30), label=label)
     kref = radii[len(radii) // 4: len(radii) // 2]
@@ -76,8 +78,7 @@ def plot_flux_integrals(radii, flux_spectra: dict, out_dir,
                         name="flux_integrals.png"):
     """Pi(k) = -int_0^k T(k') dk' from binned transfer densities
     (RSWAnalysisSuite.jl:180-220)."""
-    plt = _plt()
-    fig, ax = plt.subplots(figsize=(7, 4))
+    fig, ax = _figure(figsize=(7, 4))
     for label, T in flux_spectra.items():
         Pi = -np.cumsum(np.asarray(T))
         ax.semilogx(radii, Pi, label=label)
@@ -92,9 +93,8 @@ def plot_snapshot_heatmaps(fields: dict, grid, out_dir,
                            name="snapshots.png"):
     """Physical-space heatmaps (PV, divergence, ... —
     RSWAnalysisSuite.jl:304-353)."""
-    plt = _plt()
     n = len(fields)
-    fig, axes = plt.subplots(1, n, figsize=(4.5 * n, 4))
+    fig, axes = _figure(1, n, figsize=(4.5 * n, 4))
     if n == 1:
         axes = [axes]
     ext = [float(grid.x[0]), float(grid.x[0]) + grid.Lx,
@@ -114,8 +114,7 @@ def plot_omega_k_heatmap(omega, kbins, power, out_dir,
                          title="omega-k spectrum"):
     """(omega, K) heatmap with optional dispersion-curve overlay
     (MakeOmegaKPlots.jl:22-71)."""
-    plt = _plt()
-    fig, ax = plt.subplots(figsize=(6, 5))
+    fig, ax = _figure(figsize=(6, 5))
     P = np.log10(np.maximum(np.asarray(power), 1e-30))
     im = ax.pcolormesh(kbins, omega, P, shading="auto", cmap="magma")
     if dispersion is not None:
@@ -131,9 +130,10 @@ def plot_omega_k_heatmap(omega, kbins, power, out_dir,
 def plot_packet_pdfs(times, grid_points, pdfs, out_dir,
                      name="packet_frequency_pdfs.png", f0=None):
     """KDE frequency-spectrum evolution (MakeRaytracingPlots.jl:14-65)."""
-    plt = _plt()
-    fig, ax = plt.subplots(figsize=(7, 4))
-    cmap = plt.get_cmap("viridis")
+    from matplotlib import colormaps
+
+    fig, ax = _figure(figsize=(7, 4))
+    cmap = colormaps["viridis"]
     for i, (t, pdf) in enumerate(zip(times, pdfs)):
         ax.plot(grid_points, pdf, color=cmap(i / max(len(times) - 1, 1)),
                 label=f"t={t:.1f}" if i in (0, len(times) - 1) else None)

@@ -23,7 +23,7 @@ body {{ font-family: sans-serif; margin: 2em; }}
 img {{ max-width: 100%; }}
 table {{ border-collapse: collapse; }} td, th {{ border: 1px solid #ccc; padding: 4px 10px; }}
 </style></head><body>
-<p><a href="index.html">&larr; Main table</a></p>
+<p><a href="{index_href}">&larr; Main table</a></p>
 <h1>Run {run_id}</h1>
 <h3>{grid_dim}&times;{grid_dim} grid &nbsp; Ro = {rossby} &nbsp; Fr = {froude}</h3>
 <p>Initial geostrophic energy = {geo_energy} &nbsp; Initial wave energy = {wave_energy}</p>
@@ -58,7 +58,11 @@ class RunReport:
         self.sections.append((title, list(figures)))
 
 
-def write_run_page(report: RunReport, out_dir: str) -> str:
+def write_run_page(report: RunReport, out_dir: str,
+                   index_href: str = "index.html") -> str:
+    """``index_href`` points the back-link at the master index — pass
+    '../index.html' when the page lives in a per-run subdirectory of the
+    multi-run layout (analyze_runs)."""
     os.makedirs(out_dir, exist_ok=True)
     sections_html = []
     for title, figs in report.sections:
@@ -77,6 +81,7 @@ def write_run_page(report: RunReport, out_dir: str) -> str:
         geo_energy=f"{report.geo_energy:.4g}",
         wave_energy=f"{report.wave_energy:.4g}",
         sections="\n".join(sections_html),
+        index_href=html.escape(index_href),
     )
     path = os.path.join(out_dir, f"{report.run_id}.html")
     with open(path, "w") as fh:

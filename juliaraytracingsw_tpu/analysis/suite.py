@@ -36,7 +36,8 @@ __all__ = ["analyze_run", "analyze_runs"]
 
 def analyze_run(run_dir: str, base: str = "rsw", packet_base: str = "packets",
                 out_dir: str | None = None, run_id: str | None = None,
-                max_transfer_snapshots: int = 50, use_cache: bool = True):
+                max_transfer_snapshots: int = 50, use_cache: bool = True,
+                index_href: str = "index.html"):
     """Full offline analysis of one RSW run directory; returns the report."""
     import h5py
 
@@ -140,7 +141,7 @@ def analyze_run(run_dir: str, base: str = "rsw", packet_base: str = "packets",
                     float(data["e/KE_geo"][0]), float(data["e/KE_wave"][0]))
     for title, fig in figures.items():
         rep.add_section(title, [os.path.basename(fig)])
-    write_run_page(rep, out_dir)
+    write_run_page(rep, out_dir, index_href=index_href)
     return rep, figures
 
 
@@ -158,13 +159,23 @@ def analyze_runs(run_dirs, base: str = "rsw", out_dir: str | None = None,
     out_dir = out_dir or "figures"
     os.makedirs(out_dir, exist_ok=True)
 
-    def one(rd):
+    # disambiguate duplicate basenames (e.g. /a/run1 and /b/run1) so
+    # concurrent workers never share an out_dir subdirectory
+    rids, seen = [], {}
+    for rd in run_dirs:
         rid = os.path.basename(os.path.abspath(rd))
+        n = seen.get(rid, 0)
+        seen[rid] = n + 1
+        rids.append(rid if n == 0 else f"{rid}-{n + 1}")
+
+    def one(rd, rid):
+        # pages live in out/<rid>/<rid>.html; the master index is one up
         return analyze_run(rd, base=base, out_dir=os.path.join(out_dir, rid),
-                           run_id=rid, **kwargs)[0]
+                           run_id=rid, index_href="../index.html",
+                           **kwargs)[0]
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        reports = list(ex.map(one, run_dirs))
+        reports = list(ex.map(one, run_dirs, rids))
     # the per-run pages live in subdirectories; link them from the index
     for rep in reports:
         rep.run_id = f"{rep.run_id}/{rep.run_id}"

@@ -57,7 +57,7 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--ray-substeps", type=int, default=1)
     p.add_argument("--ray-method", default="rk4")
     p.add_argument("--interp", default="bilinear",
-                   choices=["bilinear", "bspline"])
+                   choices=["bilinear", "bspline", "bicubic"])
     p.add_argument("--frozen-flow", action="store_true")
     p.add_argument("--birth-death", action="store_true",
                    help="Weibull birth/death ensemble resampling "
@@ -129,15 +129,23 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
 
 
 def cmd_rsw(args):
+    """RSW turbulence (+ packets) with selectable model variant — the
+    framework's replacement for the reference's file-swap configuration
+    (rsw/rsw-driver.sbatch copies {Linborg,Modified,QuadHeight}ShallowWater.jl
+    over RotatingShallowWater.jl)."""
     from ..coupled.initial_conditions import band_geo_wave_ic, front_ic
-    from ..models import rsw
+    from ..models import linborg, modified_sw, quadheight, rsw
     from ..rays.packets import lattice_packets
     from ..rays.raytrace import RayParams
+    from ..core.spectral import rfft2, irfft2
+    import jax.numpy as jnp
 
     grid, dt, nu, rng = _setup(args)
     args.dt = dt
     f, Cg = args.f_over_cg * args.cg, args.cg
-    model = rsw.make_model(grid, nu=nu, nnu=args.nnu, f=f, Cg=Cg)
+    factory = {"rsw": rsw, "linborg": linborg, "modified": modified_sw,
+               "quadheight": quadheight}[args.model]
+    model = factory.make_model(grid, nu=nu, nnu=args.nnu, f=f, Cg=Cg)
     params = model.params
 
     if args.ic == "front":
@@ -147,10 +155,34 @@ def cmd_rsw(args):
                                 Kw=tuple(args.Kw), ag=args.ag, aw=args.aw,
                                 f=f, Cg=Cg)
 
-    def psih_fn(sol):
-        Kd2 = f * f / (Cg * Cg)
-        qh = grid.ik * sol[1] - grid.il * sol[0] - f * sol[2]
-        return -qh / (grid.Krsq + Kd2)
+    if args.model == "quadheight":
+        # prognostic m = 1/(1+eta): convert the (u, v, eta) IC
+        # (QuadHeightModifiedShallowWater.jl:337-344 set_solution!)
+        sol0 = quadheight.set_solution(sol0[0], sol0[1], sol0[2], grid)
+
+        def psih_fn(sol):
+            # recover eta = 1/m - 1, then PV-inversion streamfunction
+            m = irfft2(sol[2], grid.nx)
+            etah = rfft2(1.0 / m - 1.0)
+            Kd2 = f * f / (Cg * Cg)
+            qh = grid.ik * sol[1] - grid.il * sol[0] - f * etah
+            return -qh / (grid.Krsq + Kd2)
+
+        diags = {
+            "kinetic_energy": lambda s, g, p: quadheight.kinetic_energy(s, g),
+            "potential_energy":
+                lambda s, g, p: quadheight.potential_energy(s, g, p),
+        }
+    else:
+        def psih_fn(sol):
+            Kd2 = f * f / (Cg * Cg)
+            qh = grid.ik * sol[1] - grid.il * sol[0] - f * sol[2]
+            return -qh / (grid.Krsq + Kd2)
+
+        diags = {
+            "kinetic_energy": lambda s, g, p: rsw.kinetic_energy(s, g),
+            "potential_energy": lambda s, g, p: rsw.potential_energy(s, g, p),
+        }
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp)
@@ -160,11 +192,8 @@ def cmd_rsw(args):
         k_ring=args.k_ring,
     ) if args.with_packets else lattice_packets(1, grid.Lx, grid.Ly, k0=1.0)
 
-    diags = {
-        "kinetic_energy": lambda s, g, p: rsw.kinetic_energy(s, g),
-        "potential_energy": lambda s, g, p: rsw.potential_energy(s, g, p),
-    }
-    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "rsw")
+    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags,
+                 args.model if args.model != "rsw" else "rsw")
 
 
 def cmd_swqg(args):
@@ -294,7 +323,11 @@ def cmd_steady_raytracing(args):
         psih = to_device(psih_np.astype(np.complex64))
     else:
         psih = random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
-    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+    # time-rescaled packet clock: rays run on tspan scaled by s with
+    # Cg -> Cg/s (packetVelocityScale, SteadyRaytracing.jl:120-129,203-204 —
+    # s = Fr * Cg / rms_U tunes the advection/dispersion ratio)
+    s = args.packet_velocity_scale
+    rp = RayParams(f=f, Cg=Cg / s, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp)
     fields = fields_from_psih(psih, grid, args.interp)
     packets = lattice_packets(
@@ -305,10 +338,11 @@ def cmd_steady_raytracing(args):
     writer = SequencedWriter(os.path.join(args.out_dir, "packets"),
                              args.max_writes)
     nframes = max(int(args.T / args.output_dt), 1)
-    sub = max(int(args.output_dt / dt), 1)
+    sub = max(int(round(s * args.output_dt / dt)), 1)
     t = 0.0
     for i in range(nframes):
-        packets = raytrace(packets, fields, fields, t, t + args.output_dt,
+        packets = raytrace(packets, fields, fields, s * t,
+                           s * (t + args.output_dt),
                            rp, nsubsteps=sub, method=args.ray_method)
         t += args.output_dt
         u, v = sample_velocity(packets, fields, rp)
@@ -604,6 +638,10 @@ def main(argv=None):
     _add_common(p); _add_packets(p)
     p.add_argument("--cg", type=float, default=1.0)
     p.add_argument("--f-over-cg", type=float, default=3.0)
+    p.add_argument("--model", default="rsw",
+                   choices=["rsw", "linborg", "modified", "quadheight"],
+                   help="shallow-water variant (replaces the reference's "
+                        "file-swap of *ShallowWater.jl)")
     p.add_argument("--ic", default="band", choices=["band", "front"])
     p.add_argument("--Kg", type=float, nargs=2, default=(10, 13))
     p.add_argument("--Kw", type=float, nargs=2, default=(0, 5))
@@ -667,6 +705,9 @@ def main(argv=None):
     p.add_argument("--ag", type=float, default=0.2)
     p.add_argument("--snapshot-file", default=None)
     p.add_argument("--snapshot-key", default="snapshots/sol/0")
+    p.add_argument("--packet-velocity-scale", type=float, default=1.0,
+                   help="time-rescaled packet clock s: tspan *= s, Cg /= s "
+                        "(SteadyRaytracing.jl:120-129)")
     p.set_defaults(fn=cmd_steady_raytracing)
 
     p = sub.add_parser("twolayer-simulation",

@@ -202,8 +202,23 @@ def bicubic_hermite(f, fx, fy, fxy, xq, yq, x0, y0, dx, dy):
 
 
 def interpolate(fields, xq, yq, x0, y0, dx, dy, method: str = "bilinear"):
+    """Dispatch on method. For ``'bicubic'`` (Hermite, exact corner
+    derivatives) ``fields`` must be the stacked (4F, ny, nx) layout
+    [f | fx | fy | fxy] produced by raytrace.fields_from_psih(...,
+    interp='bicubic'); the result has F rows."""
     if method == "bilinear":
         return bilinear(fields, xq, yq, x0, y0, dx, dy)
     if method == "bspline":
         return bspline(fields, xq, yq, x0, y0, dx, dy)
+    if method == "bicubic":
+        F4 = fields.shape[0]
+        if F4 % 4:
+            raise ValueError(
+                "bicubic expects a stacked (4F, ny, nx) [f|fx|fy|fxy] layout"
+            )
+        F = F4 // 4
+        return bicubic_hermite(
+            fields[:F], fields[F:2 * F], fields[2 * F:3 * F], fields[3 * F:],
+            xq, yq, x0, y0, dx, dy,
+        )
     raise ValueError(f"unknown interpolation method {method!r}")

@@ -1,11 +1,12 @@
 """1-D ray-tracing prototype + micro-benchmark.
 
-TPU-native counterpart of the reference's raytracing/JuliaRaytracing1D.jl
-(:1-111): structure-of-arrays packet layout over a 1-D periodic velocity
-field u(x), nondimensional deep-water-style dispersion omega = sqrt(1 + k^2)
-(:60-66), RHS dx/dt = u + c_g, dk/dt = -u_x k, and an integrator
-micro-benchmark (the reference @btime's Vern7 vs Vern8 :98-111; here the
-fixed-substep rk4 vs dopri5 steppers that the production 2-D path uses).
+1-D *analogue* of the reference's packet benchmark
+raytracing/JuliaRaytracing1D.jl (which is itself 2-D: x/y positions, U/V
+textures, omega = sqrt(1 + k1^2 + k2^2), @btime of Vern7 vs Vern8 at
+:98-111). This module reduces the same structure to one dimension —
+structure-of-arrays packets over a 1-D periodic velocity field u(x),
+omega = sqrt(1 + k^2), RHS dx/dt = u + c_g, dk/dt = -u_x k — and
+micro-benchmarks the fixed-substep rk4 vs implicit-midpoint steppers.
 
 This is the smallest end-to-end exercise of the ray stack — useful as a
 compile-time/throughput canary and as the on-ramp for new integrators.

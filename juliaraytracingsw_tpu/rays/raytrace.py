@@ -78,15 +78,24 @@ def _maybe_prefilter(stackh, grid, interp: str):
 
 
 def fields_from_psih(psih, grid, interp: str = "bilinear"):
-    """(5, ny, nx) [u, v, ux, uy, vx] from a streamfunction spectrum.
+    """Interpolation field stack from a streamfunction spectrum.
 
     Equivalent of the drivers' ``get_velocity_info`` 6-derivative extraction
     (swqg/RaytracingDriver.jl:164-185) done as one batched irfft2. For
     'bspline' interpolation the spectral B-spline prefilter is folded in
-    here — exact and free (one elementwise multiply).
+    here — exact and free (one elementwise multiply). For 'bicubic' (Hermite
+    with exact corner derivatives, utils/CUDAInterpolations.jl:71-108) the
+    stack is (20, ny, nx) = [f | fx | fy | fxy] of the 5 base fields, all
+    exact spectral derivatives; otherwise (5, ny, nx) [u, v, ux, uy, vx].
     """
     uh, vh, uxh, uyh, vxh = spectral_gradients(psih, grid)
     stackh = jnp.stack([uh, vh, uxh, uyh, vxh])
+    if interp == "bicubic":
+        ik, il = grid.ik, grid.il
+        stackh = jnp.concatenate(
+            [stackh, ik * stackh, il * stackh, ik * il * stackh]
+        )
+        return irfft2(stackh, grid.nx)
     stackh = _maybe_prefilter(stackh, grid, interp)
     return irfft2(stackh, grid.nx)
 
@@ -304,11 +313,22 @@ def raytrace(
     return packets
 
 
+def _select_channels(fields, sel, interp):
+    """Slice base channels from a field stack; for the bicubic [f|fx|fy|fxy]
+    layout the selection is applied within each of the 4 blocks."""
+    if interp == "bicubic":
+        F = fields.shape[0] // 4
+        idx = [b * F + j for b in range(4) for j in sel]
+        return fields[jnp.asarray(idx)]
+    return fields[jnp.asarray(sel)]
+
+
 def sample_velocity(packets: Packets, fields, rp: RayParams):
     """(u, v) at packet positions (reference interpolate_velocity!,
     raytracing/GPURaytracing.jl:67-82)."""
     vals = interpolate(
-        fields[:2], packets.x, packets.y, rp.x0, rp.y0, rp.dx, rp.dy, rp.interp
+        _select_channels(fields, [0, 1], rp.interp),
+        packets.x, packets.y, rp.x0, rp.y0, rp.dx, rp.dy, rp.interp
     )
     return vals[0], vals[1]
 
@@ -317,6 +337,7 @@ def sample_gradients(packets: Packets, fields, rp: RayParams):
     """(ux, uy, vx, vy) at packet positions (reference
     interpolate_gradients!, raytracing/GPURaytracing.jl:84-109); vy = -ux."""
     vals = interpolate(
-        fields[2:5], packets.x, packets.y, rp.x0, rp.y0, rp.dx, rp.dy, rp.interp
+        _select_channels(fields, [2, 3, 4], rp.interp),
+        packets.x, packets.y, rp.x0, rp.y0, rp.dx, rp.dy, rp.interp
     )
     return vals[0], vals[1], vals[2], -vals[0]

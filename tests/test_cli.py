@@ -1,0 +1,55 @@
+"""CLI smoke tests: every experiment subcommand runs a toy config end-to-end
+and records energetics (reference parity: one entry point per *Main.jl /
+driver; variants replace the sbatch file-swap pattern)."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from juliaraytracingsw_tpu.experiments.__main__ import main
+
+
+def _common(tmp_path, T="0.05", spinup="0.01", out_dt="0.01", nx="32"):
+    return ["--nx", nx, "--spinup-T", spinup, "--T", T,
+            "--output-dt", out_dt, "--out-dir", str(tmp_path),
+            "--sqrt-npackets", "2"]
+
+
+@pytest.mark.parametrize("variant", ["rsw", "linborg", "modified",
+                                     "quadheight"])
+def test_rsw_variants_run_from_cli(tmp_path, variant):
+    """--model {rsw,linborg,modified,quadheight} replaces the reference's
+    file-swap of {Linborg,Modified,QuadHeight}ShallowWater.jl
+    (rsw/rsw-driver.sbatch)."""
+    main(["rsw", "--model", variant, "--ag", "0.2", "--aw", "0.02",
+          *_common(tmp_path)])
+    with h5py.File(tmp_path / "diagnostics.h5", "r") as f:
+        ke = f["kinetic_energy"][()]
+        pe = f["potential_energy"][()]
+        assert np.isfinite(ke).all() and np.isfinite(pe).all()
+        assert (ke > 0).all()
+
+
+def test_rsw_birth_death_flag(tmp_path):
+    """--birth-death is read and produces population telemetry."""
+    main(["rsw", "--birth-death", "--bd-lam", "0.005", "--ag", "0.2",
+          "--aw", "0.02", *_common(tmp_path, T="0.06")])
+    from juliaraytracingsw_tpu.io.output import SequencedReader
+
+    r = SequencedReader(str(tmp_path / "packets"))
+    steps = r.steps("p/births")
+    assert steps, "no birth telemetry written"
+    assert int(r.read(f"p/births/{steps[-1]}")) > 0
+
+
+def test_thomasyamada_two_phase_cli(tmp_path):
+    main(["thomasyamada", "--nx", "32", "--ty-dt", "1e-3",
+          "--startup-dt-factor", "2", "--startup-T", "0.01",
+          "--T", "0.01", "--output-dt", "0.005",
+          "--out-dir", str(tmp_path)])
+    assert os.path.exists(tmp_path / "startup.000000.h5")
+    assert os.path.exists(tmp_path / "ty.000000.h5")
+    with h5py.File(tmp_path / "diagnostics.h5", "r") as f:
+        assert np.isfinite(f["wave_ke"][()]).all()
+        assert np.isfinite(f["geo_ke"][()]).all()

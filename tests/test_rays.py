@@ -146,6 +146,28 @@ class TestRays:
         assert np.isfinite(np.asarray(out.k)).all()
         assert drift.max() < 2e-3, drift.max()
 
+    def test_bicubic_dispatch_reachable(self, rng):
+        """interp='bicubic' is reachable end-to-end: fields_from_psih emits
+        the [f|fx|fy|fxy] stack, interpolate() dispatches, raytrace and the
+        sampling helpers agree with the bspline path to high accuracy."""
+        g = make_grid(64)
+        psih = band_limited_psih(g, rng, amp=0.03)
+        p = lattice_packets(4, g.Lx, g.Ly, k0=6.0, k_ring=True)
+        outs = {}
+        for interp_m in ("bicubic", "bspline"):
+            rp = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                           dx=g.dx, dy=g.dy, interp=interp_m)
+            fields = fields_from_psih(psih, g, interp=interp_m)
+            if interp_m == "bicubic":
+                assert fields.shape[0] == 20
+                u, v = sample_velocity(p, fields, rp)
+                assert np.isfinite(np.asarray(u)).all()
+            outs[interp_m] = raytrace(p, fields, fields, 0.0, 1.0, rp,
+                                      nsubsteps=40)
+        for a, b in zip(outs["bicubic"][:4], outs["bspline"][:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+
     @pytest.mark.parametrize("interp", ["bilinear", "bspline"])
     def test_patch_gather_matches_taps(self, rng, interp):
         """The patch-table fast path (one row-gather per substep) must track
