@@ -13,6 +13,12 @@ collective-permutes.
 
 The odd rfft length (nkr = nx//2 + 1) is zero-padded to a multiple of the
 mesh size before the transpose and cropped after.
+
+Two API levels:
+- ``local_rfft2`` / ``local_irfft2``: per-shard bodies for use INSIDE a
+  ``shard_map`` (the sharded models compose them with local elementwise
+  physics, parallel/sharded_rsw.py);
+- ``slab_rfft2`` / ``slab_irfft2``: standalone shard_map-wrapped transforms.
 """
 from __future__ import annotations
 
@@ -23,7 +29,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["slab_rfft2", "slab_irfft2", "slab_sharding_physical",
-           "slab_sharding_spectral"]
+           "slab_sharding_spectral", "local_rfft2", "local_irfft2",
+           "padded_nkr"]
+
+
+def padded_nkr(nx: int, nproc: int) -> int:
+    """rfft length nx//2+1 zero-padded up to a multiple of the mesh size."""
+    nkr = nx // 2 + 1
+    return ((nkr + nproc - 1) // nproc) * nproc
 
 
 def slab_sharding_physical(mesh: Mesh, axis: str = "packets") -> NamedSharding:
@@ -45,24 +58,37 @@ def _pad_to(x, size, ax):
     return jnp.pad(x, widths)
 
 
+def local_rfft2(f, nkr_pad: int, axis: str):
+    """Per-shard forward transform (call INSIDE shard_map).
+
+    f (..., ny/P, nx) y-slab shard -> (..., nl, nkr_pad/P) kr-column shard.
+    """
+    fh = jnp.fft.rfft(f, axis=-1)
+    fh = _pad_to(fh, nkr_pad, -1)
+    fh = jax.lax.all_to_all(fh, axis, split_axis=f.ndim - 1,
+                            concat_axis=f.ndim - 2, tiled=True)
+    return jnp.fft.fft(fh, axis=-2)
+
+
+def local_irfft2(fh, nx: int, axis: str):
+    """Per-shard inverse transform (call INSIDE shard_map).
+
+    fh (..., nl, nkr_pad/P) kr-column shard -> (..., ny/P, nx) y-slab shard.
+    """
+    nkr = nx // 2 + 1
+    f = jnp.fft.ifft(fh, axis=-2)
+    f = jax.lax.all_to_all(f, axis, split_axis=fh.ndim - 2,
+                           concat_axis=fh.ndim - 1, tiled=True)
+    f = f[..., :nkr]
+    return jnp.fft.irfft(f, n=nx, axis=-1)
+
+
 def slab_rfft2(field, mesh: Mesh, axis: str = "packets"):
     """field (C, ny, nx) y-slab-sharded -> spectrum (C, nl, nkr_pad)
     kr-column-sharded (zero-padded last axis; crop with [..., :nkr])."""
-    nproc = mesh.shape[axis]
-    C, ny, nx = field.shape
-    nkr = nx // 2 + 1
-    nkr_pad = ((nkr + nproc - 1) // nproc) * nproc
-
-    def local_tiled(f):  # (C, ny/P, nx)
-        fh = jnp.fft.rfft(f, axis=-1)
-        fh = _pad_to(fh, nkr_pad, -1)                      # (C, ny/P, nkr_pad)
-        # tiled all_to_all: split last axis into P parts, concat along y
-        fh = jax.lax.all_to_all(fh, axis, split_axis=2, concat_axis=1,
-                                tiled=True)                # (C, ny, nkr_pad/P)
-        return jnp.fft.fft(fh, axis=-2)                    # (C, nl, nkr_pad/P)
-
+    nkr_pad = padded_nkr(field.shape[-1], mesh.shape[axis])
     out = jax.shard_map(
-        local_tiled, mesh=mesh,
+        partial(local_rfft2, nkr_pad=nkr_pad, axis=axis), mesh=mesh,
         in_specs=P(None, axis, None),
         out_specs=P(None, None, axis),
     )(field)
@@ -72,17 +98,8 @@ def slab_rfft2(field, mesh: Mesh, axis: str = "packets"):
 def slab_irfft2(spech, nx: int, mesh: Mesh, axis: str = "packets"):
     """Inverse of slab_rfft2: (C, nl, nkr_pad) kr-sharded ->
     (C, ny, nx) y-slab-sharded."""
-    nkr = nx // 2 + 1
-
-    def local(fh):  # (C, nl, nkr_pad/P)
-        f = jnp.fft.ifft(fh, axis=-2)                      # undo y transform
-        f = jax.lax.all_to_all(f, axis, split_axis=1, concat_axis=2,
-                               tiled=True)                 # (C, nl/P, nkr_pad)
-        f = f[..., :nkr]
-        return jnp.fft.irfft(f, n=nx, axis=-1)             # (C, ny/P, nx)
-
     out = jax.shard_map(
-        local, mesh=mesh,
+        partial(local_irfft2, nx=nx, axis=axis), mesh=mesh,
         in_specs=P(None, None, axis),
         out_specs=P(None, axis, None),
     )(spech)
