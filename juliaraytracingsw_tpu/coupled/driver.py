@@ -39,6 +39,7 @@ from ..rays.raytrace import (
     fields_from_psih,
     make_pair_table,
     raytrace,
+    raytrace_adaptive,
     raytrace_tables,
     sample_gradients,
     sample_velocity,
@@ -98,8 +99,13 @@ def make_coupled_frame(
     dt: float | None = None,
     remat: bool = False,
     birth_death: dict | None = None,
+    ray_opts: dict | None = None,
 ):
     """Jitted frame: ``flow_steps`` interleaved flow/ray steps.
+
+    ``ray_method='adaptive'`` selects the embedded Dormand-Prince 5(4)
+    integrator (reference GPU parity, GPURaytracing.jl:111-113) — tune it
+    with ``ray_opts`` = dict(rtol=..., atol=..., max_steps=...).
 
     ``birth_death`` (optional) = dict(k_shape=..., lam=...) switches on
     Weibull birth/death resampling of the ensemble each flow step
@@ -122,7 +128,10 @@ def make_coupled_frame(
     many coupled steps are the long-context problem here).
     """
     grid = model.grid
-    use_patch = _use_patch(rp)
+    adaptive = ray_method == "adaptive"
+    # the adaptive integrator builds its own patch tables from the fields
+    use_patch = _use_patch(rp) and not adaptive
+    ray_opts = ray_opts or {}
     ny, nx = grid.ny, grid.nx
 
     def one(carry, _):
@@ -139,7 +148,11 @@ def make_coupled_frame(
             fields_new = fields_from_psih(psih_fn(sol), grid, rp.interp)
             T_new = build_patch_table(fields_new, rp.interp) if use_patch else ()
             T_pair = make_pair_table(T_old, T_new) if use_patch else ()
-        if use_patch:
+        if adaptive:
+            packets, _info = raytrace_adaptive(
+                packets, fields_old, fields_new, t0, clock.t, rp, **ray_opts,
+            )
+        elif use_patch:
             packets = raytrace_tables(
                 packets, T_pair, t0, clock.t, rp,
                 ny, nx, nsubsteps=ray_substeps, method=ray_method,
@@ -214,7 +227,8 @@ class CoupledDriver:
     use_filter: bool = False
     filter_kwargs: dict | None = None
     ray_substeps: int = 1
-    ray_method: str = "rk4"
+    ray_method: str = "rk4"     # 'rk4' | 'dopri5' | 'midpoint' | 'adaptive'
+    ray_opts: dict | None = None   # adaptive: rtol/atol/max_steps
     k_cutoff: float | None = None
     k0: float | None = None
     frozen_flow: bool = False
@@ -286,7 +300,7 @@ class CoupledDriver:
                     self.model, self._step_fn, self.psih_fn, self.rp,
                     flow_steps, self.ray_substeps, self.ray_method,
                     self.k_cutoff, self.k0, self.frozen_flow, self.dt,
-                    self.remat, bd_cfg,
+                    self.remat, bd_cfg, self.ray_opts,
                 )
             else:
                 self._frame_cache[key] = make_flow_frame(

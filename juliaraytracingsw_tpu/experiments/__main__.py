@@ -55,7 +55,13 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--omega0-over-f", type=float, default=2.0)
     p.add_argument("--k-ring", action="store_true", default=True)
     p.add_argument("--ray-substeps", type=int, default=1)
-    p.add_argument("--ray-method", default="rk4")
+    p.add_argument("--ray-method", default="rk4",
+                   choices=["rk4", "dopri5", "midpoint", "adaptive"],
+                   help="'adaptive' = embedded Dormand-Prince 5(4) with "
+                        "error control (GPURaytracing.jl Vern7 parity)")
+    p.add_argument("--ray-rtol", type=float, default=1e-5)
+    p.add_argument("--ray-atol", type=float, default=1e-7)
+    p.add_argument("--ray-max-steps", type=int, default=32)
     p.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bspline", "bicubic"])
     p.add_argument("--frozen-flow", action="store_true")
@@ -104,6 +110,9 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
         model=model, psih_fn=psih_fn, rp=rp, dt=dt, stepper=args.stepper,
         use_filter=args.use_filter,
         ray_substeps=args.ray_substeps, ray_method=args.ray_method,
+        ray_opts=dict(rtol=args.ray_rtol, atol=args.ray_atol,
+                      max_steps=args.ray_max_steps)
+        if args.ray_method == "adaptive" else None,
         k_cutoff=100.0 * f / Cg,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
         frozen_flow=args.frozen_flow,

@@ -53,6 +53,7 @@ __all__ = [
     "fields_from_psih",
     "fields_from_velocity_spectra",
     "raytrace",
+    "raytrace_adaptive",
     "sample_velocity",
     "sample_gradients",
 ]
@@ -212,6 +213,9 @@ _DP_A = (
     (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
 )
 _DP_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+# embedded 4th-order weights of the Dormand-Prince pair (error estimator)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
 
 
 def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
@@ -321,6 +325,93 @@ def _select_channels(fields, sel, interp):
         idx = [b * F + j for b in range(4) for j in sel]
         return fields[jnp.asarray(idx)]
     return fields[jnp.asarray(sel)]
+
+
+@partial(jax.jit, static_argnames=("rp", "max_steps"))
+def raytrace_adaptive(
+    packets: Packets,
+    fields_old,
+    fields_new,
+    t0,
+    t1,
+    rp: RayParams,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    max_steps: int = 64,
+    init_substeps: int = 4,
+):
+    """Adaptive embedded Dormand-Prince 5(4) ray integration.
+
+    Parity mode for the reference's production GPU path — adaptive Vern7
+    over the whole packet batch with one shared step size
+    (raytracing/GPURaytracing.jl:111-113,135-137 solves a single batched
+    ODEProblem adaptively). Shape-static for XLA: a ``lax.scan`` over
+    ``max_steps`` attempt slots; rejected attempts shrink h and retry,
+    finished batches no-op. Error control is the standard Hairer mixed
+    norm with a PI-less step factor 0.9 (tol/err)^(1/5) clipped to
+    [0.2, 5].
+
+    Returns ``(packets, info)`` where info = dict(t_reached, h_final,
+    n_accepted, n_rejected); ``t_reached < t1`` means max_steps was too
+    small for the tolerance.
+    """
+    _, ny, nx = fields_old.shape
+    span = t1 - t0
+    use_patch = _use_patch(rp)
+    if use_patch:
+        T_pair = make_pair_table(build_patch_table(fields_old, rp.interp),
+                                 build_patch_table(fields_new, rp.interp))
+
+    def attempt(p, t, h):
+        """One DP5(4) attempt from (p, t) with size h -> (p5, err_norm)."""
+        a0 = (t - t0) / span
+        dah = h / span
+        if use_patch:
+            sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
+        else:
+            sample = _make_taps_sampler(fields_old, fields_new, rp)
+        ks = []
+        for ci, ai in zip(_DP_C, _DP_A):
+            q = _lincomb(p, ks, ai, h) if ai else p
+            ks.append(_rhs(q, sample, a0 + ci * dah, rp))
+        p5 = _lincomb(p, ks, _DP_B, h)
+        p4 = _lincomb(p, ks, _DP_B4, h)
+
+        def comp_err(y5, y4, y):
+            sc = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+            return ((y5 - y4) / sc) ** 2
+
+        e = (comp_err(p5.x, p4.x, p.x) + comp_err(p5.y, p4.y, p.y)
+             + comp_err(p5.k, p4.k, p.k) + comp_err(p5.l, p4.l, p.l))
+        err = jnp.sqrt(jnp.mean(e) / 4.0)
+        return p5, err
+
+    eps = 1e-9 * jnp.abs(span)
+
+    def body(carry, _):
+        p, t, h, nacc, nrej = carry
+        done = t >= t1 - eps
+        h_eff = jnp.minimum(h, t1 - t)
+        p5, err = attempt(p, t, jnp.where(done, h, h_eff))
+        accept = jnp.logical_and(err <= 1.0, jnp.logical_not(done))
+        reject = jnp.logical_and(err > 1.0, jnp.logical_not(done))
+        p_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), p5, p
+        )
+        t_next = jnp.where(accept, t + h_eff, t)
+        fac = jnp.clip(0.9 * (jnp.maximum(err, 1e-10)) ** (-0.2), 0.2, 5.0)
+        h_next = jnp.where(done, h, jnp.maximum(h_eff * fac, eps))
+        return (p_next, t_next, h_next,
+                nacc + accept.astype(jnp.int32),
+                nrej + reject.astype(jnp.int32)), None
+
+    t0_ = jnp.asarray(t0, packets.x.dtype)
+    h0 = jnp.asarray(span / init_substeps, packets.x.dtype)
+    zero = jnp.zeros((), jnp.int32)
+    (p, t, h, nacc, nrej), _ = jax.lax.scan(
+        body, (packets, t0_, h0, zero, zero), None, length=max_steps
+    )
+    return p, dict(t_reached=t, h_final=h, n_accepted=nacc, n_rejected=nrej)
 
 
 def sample_velocity(packets: Packets, fields, rp: RayParams):

@@ -1,0 +1,140 @@
+"""Adaptive embedded ray integrator + closed-form shear-flow oracle
+(VERDICT r1 items 6/8; reference production path is adaptive Vern7,
+raytracing/GPURaytracing.jl:111-113; oracle notebooks
+AnalyticStationaryRaytracing.ipynb / TimeDependentShearFlow.ipynb)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from juliaraytracingsw_tpu.core.grid import make_grid
+from juliaraytracingsw_tpu.core.spectral import rfft2
+from juliaraytracingsw_tpu.rays.packets import Packets
+from juliaraytracingsw_tpu.rays.raytrace import (
+    RayParams,
+    fields_from_psih,
+    raytrace,
+    raytrace_adaptive,
+)
+
+F, CG = 3.0, 1.0
+
+
+def shear_psih(grid, U0=0.5, q=3):
+    """Steady unidirectional shear u = U0 sin(q y), v = 0:
+    psi = (U0/q) cos(q y)."""
+    Y = np.meshgrid(np.asarray(grid.x), np.asarray(grid.y))[1]
+    psi = (U0 / q) * np.cos(q * Y)
+    return rfft2(jnp.asarray(psi, jnp.float32))
+
+
+def _rp(g, interp="bspline", **kw):
+    return RayParams(f=F, Cg=CG, x0=float(g.x[0]), y0=float(g.y[0]),
+                     dx=g.dx, dy=g.dy, interp=interp, **kw)
+
+
+class TestAdaptive:
+    def test_matches_fine_fixed_step(self):
+        """Through a strongly sheared flow, adaptive DP5(4) at tight rtol
+        tracks a very fine fixed-step rk4 reference."""
+        g = make_grid(64)
+        fields = fields_from_psih(shear_psih(g, U0=0.8), g, "bspline")
+        rp = _rp(g)
+        p0 = Packets(x=jnp.asarray([0.3, -1.0]), y=jnp.asarray([0.2, 0.7]),
+                     k=jnp.asarray([6.0, 4.0]), l=jnp.asarray([0.0, 2.0]),
+                     sign=jnp.asarray([1.0, 1.0]))
+        T = 2.0
+        ref = raytrace(p0, fields, fields, 0.0, T, rp, nsubsteps=2000)
+        out, info = raytrace_adaptive(p0, fields, fields, 0.0, T, rp,
+                                      rtol=1e-6, atol=1e-8, max_steps=256)
+        assert float(info["t_reached"]) >= T - 1e-6
+        n_used = int(info["n_accepted"])
+        assert 0 < n_used < 2000, "adaptive should beat the fine fixed grid"
+        for a, b in zip(out[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_rejection_recovers_from_huge_h0(self):
+        g = make_grid(64)
+        fields = fields_from_psih(shear_psih(g, U0=0.8), g, "bspline")
+        rp = _rp(g)
+        p0 = Packets(x=jnp.asarray([0.1]), y=jnp.asarray([0.4]),
+                     k=jnp.asarray([6.0]), l=jnp.asarray([0.0]),
+                     sign=jnp.asarray([1.0]))
+        T = 1.0
+        # start with ONE giant substep: must reject and shrink
+        out, info = raytrace_adaptive(p0, fields, fields, 0.0, T, rp,
+                                      rtol=1e-6, atol=1e-8, max_steps=256,
+                                      init_substeps=1)
+        assert int(info["n_rejected"]) > 0
+        assert float(info["t_reached"]) >= T - 1e-6
+        ref = raytrace(p0, fields, fields, 0.0, T, rp, nsubsteps=1000)
+        np.testing.assert_allclose(float(out.y[0]), float(ref.y[0]),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_taps_gather_variant(self):
+        g = make_grid(32)
+        fields = fields_from_psih(shear_psih(g), g, "bilinear")
+        rp_p = _rp(g, interp="bilinear", gather="patch")
+        rp_t = _rp(g, interp="bilinear", gather="taps")
+        p0 = Packets(x=jnp.asarray([0.3]), y=jnp.asarray([0.2]),
+                     k=jnp.asarray([6.0]), l=jnp.asarray([1.0]),
+                     sign=jnp.asarray([1.0]))
+        o1, _ = raytrace_adaptive(p0, fields, fields, 0.0, 0.5, rp_p)
+        o2, _ = raytrace_adaptive(p0, fields, fields, 0.0, 0.5, rp_t)
+        for a, b in zip(o1[:4], o2[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestShearFlowOracle:
+    """Steady shear u = U0 sin(q y): ux = vx = 0 exactly, so dk/dt = 0 and
+    (y, l) obey the closed 2-variable system dy/dt = s Cg^2 l / W,
+    dl/dt = -U0 q cos(q y) k, W = sqrt(f^2 + Cg^2 (k^2 + l^2)) — integrated
+    to oracle precision with scipy float64 (the reference's analytic-ray
+    notebooks play this role, AnalyticStationaryRaytracing.ipynb)."""
+
+    def test_k_exactly_constant(self):
+        g = make_grid(64)
+        fields = fields_from_psih(shear_psih(g, U0=0.6), g, "bspline")
+        rp = _rp(g)
+        p0 = Packets(x=jnp.asarray([0.5]), y=jnp.asarray([0.3]),
+                     k=jnp.asarray([5.0]), l=jnp.asarray([1.0]),
+                     sign=jnp.asarray([1.0]))
+        out, _ = raytrace_adaptive(p0, fields, fields, 0.0, 3.0, rp,
+                                   rtol=1e-7, atol=1e-9, max_steps=512)
+        np.testing.assert_allclose(float(out.k[0]), 5.0, rtol=1e-5)
+
+    @pytest.mark.parametrize("sign", [1.0, -1.0])
+    def test_trajectory_matches_scipy_oracle(self, sign):
+        from scipy.integrate import solve_ivp
+
+        U0, q = 0.6, 3.0
+        k0, l0, y0, x0 = 5.0, 1.0, 0.3, 0.5
+        T = 2.0
+
+        def rhs(t, z):
+            x, y, l = z
+            W = np.sqrt(F * F + CG * CG * (k0 * k0 + l * l))
+            u = U0 * np.sin(q * y)
+            return [u + sign * CG * CG * k0 / W,
+                    sign * CG * CG * l / W,
+                    -U0 * q * np.cos(q * y) * k0]
+
+        sol = solve_ivp(rhs, (0, T), [x0, y0, l0], rtol=1e-11, atol=1e-12,
+                        dense_output=True)
+        xT, yT, lT = sol.y[:, -1]
+
+        g = make_grid(128)   # fine grid: interpolant ~ exact sin shear
+        fields = fields_from_psih(shear_psih(g, U0=U0, q=int(q)), g,
+                                  "bspline")
+        rp = _rp(g)
+        p0 = Packets(x=jnp.asarray([x0]), y=jnp.asarray([y0]),
+                     k=jnp.asarray([k0]), l=jnp.asarray([l0]),
+                     sign=jnp.asarray([sign]))
+        out, info = raytrace_adaptive(p0, fields, fields, 0.0, T, rp,
+                                      rtol=1e-7, atol=1e-9, max_steps=512)
+        assert float(info["t_reached"]) >= T - 1e-6
+        np.testing.assert_allclose(float(out.x[0]), xT, atol=3e-4)
+        np.testing.assert_allclose(float(out.y[0]), yT, atol=3e-4)
+        np.testing.assert_allclose(float(out.l[0]), lT, atol=3e-3)
