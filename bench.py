@@ -163,25 +163,61 @@ def main():
     results["hero_fwd_bwd_step_s"] = t
     print(f"# hero fwd+bwd step: {t * 1e3:.1f} ms", file=sys.stderr)
 
+    # --- long-horizon backward: grad through 100 coupled 512^2 steps --------
+    # VERDICT round-1 item 8 / SURVEY §5.7: the "long-context" problem here is
+    # the backward pass through many coupled steps. remat=True checkpoints
+    # each interleaved step; the taps gather path keeps the scan carry small
+    # (no per-step patch table), so 100 512^2 steps fit single-chip HBM.
+    rp_taps = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                        dx=grid.dx, dy=grid.dy, interp="bilinear",
+                        gather="taps")
+    pk128 = lattice_packets(128, grid.Lx, grid.Ly, k0=k0, k_ring=True)
+    frame100 = make_coupled_frame(model, step_fn, psih_fn, rp_taps,
+                                  flow_steps=100, ray_substeps=1,
+                                  k_cutoff=100.0 * f / Cg, k0=k0, remat=True)
+
+    @jax.jit
+    def grad_through_100(s, pkts, c):
+        def loss(s):
+            s = s * (1.0 + 1e-12 * c)
+            fields0 = fields_from_psih(psih_fn(s), grid, rp_taps.interp)
+            sim = SimState(s, zero_clock(), init_fn(s), pkts, fields0)
+            out = frame100(sim)
+            return jnp.mean(out.packets.k**2 + out.packets.l**2)
+
+        return jax.value_and_grad(loss)(s)
+
+    t = _timeit_unique(lambda c: grad_through_100(sol, pk128, jnp.float32(c)),
+                       warmup=1, iters=2)
+    results["bwd100_remat_512_s"] = t
+    print(f"# grad through 100 coupled 512^2 steps (remat, 16k packets): "
+          f"{t:.2f} s", file=sys.stderr)
+
     # --- self-baseline ratio + regression guard -----------------------------
+    # The regression reference is the best hero number ever recorded
+    # ("best_hero_rays_per_s"); fresh results are always merged back into
+    # BENCH_SELF.json so new metrics accumulate across rounds.
     vs = 1.0
-    prev = None
+    prev = {}
     if os.path.exists(SELF_BASELINE_PATH):
         try:
             with open(SELF_BASELINE_PATH) as fh:
                 prev = json.load(fh)
-            ref = prev.get("hero_rays_per_s_per_chip")
-            if ref:
-                vs = rays_per_s / ref
         except Exception:
-            prev = None
-    if prev is None:
-        with open(SELF_BASELINE_PATH, "w") as fh:
-            json.dump(results, fh, indent=1)
-    elif vs < 0.8:
-        print(f"# PERF REGRESSION: hero {rays_per_s:.3e} is {vs:.2f}x the "
-              f"recorded baseline {prev['hero_rays_per_s_per_chip']:.3e} "
-              "(BENCH_SELF.json)", file=sys.stderr)
+            prev = {}
+    best = prev.get("best_hero_rays_per_s",
+                    prev.get("hero_rays_per_s_per_chip", 0.0)) or 0.0
+    if best:
+        vs = rays_per_s / best
+        if vs < 0.8:
+            print(f"# PERF REGRESSION: hero {rays_per_s:.3e} is {vs:.2f}x the "
+                  f"recorded best {best:.3e} (BENCH_SELF.json)",
+                  file=sys.stderr)
+    merged = dict(prev)
+    merged.update(results)
+    merged["best_hero_rays_per_s"] = max(best, rays_per_s)
+    with open(SELF_BASELINE_PATH, "w") as fh:
+        json.dump(merged, fh, indent=1)
 
     print(json.dumps({
         "metric": "rays/s/chip (1M packets, 512^2 RSW coupled)",

@@ -44,6 +44,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--distributed", action="store_true",
+                   help="bring up jax.distributed from the scheduler "
+                        "environment (SLURM/TPU pod/JRSW_* vars; "
+                        "parallel/launcher.resolve_cluster) before building "
+                        "the model")
     p.add_argument("--checkpoint", default=None,
                    help="write a resumable checkpoint here at the end")
     p.add_argument("--restore", default=None,
@@ -79,6 +84,12 @@ def _setup(args):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed", False):
+        from ..parallel.launcher import initialize_from_env
+
+        spec = initialize_from_env()
+        print(f"distributed: {spec.source} "
+              f"process {spec.process_id}/{spec.num_processes}", flush=True)
     from ..coupled.driver import derive_dt, derive_nu
     from ..core.grid import make_grid
 
@@ -500,7 +511,24 @@ def cmd_sweep(args):
     from ..config.params import load_sweep_table
 
     rows = load_sweep_table(args.table)
-    sel = rows if args.task is None else [rows[args.task - 1]]
+    if args.task is None and (
+            "SLURM_ARRAY_TASK_ID" in os.environ
+            or "JRSW_SWEEP_INDEX" in os.environ):
+        # under a SLURM job array each task picks its own row, exactly like
+        # the reference's awk lookup of parameters.txt
+        from ..parallel.launcher import sweep_row_from_env
+
+        sel = [sweep_row_from_env(rows)]
+    else:
+        sel = rows if args.task is None else [rows[args.task - 1]]
+    procs: list[tuple[str, subprocess.Popen]] = []
+
+    def _drain(limit):
+        while len(procs) >= limit:
+            tid, p = procs.pop(0)
+            if p.wait() != 0:
+                raise SystemExit(f"sweep task {tid} failed rc={p.returncode}")
+
     for i, row in enumerate(sel):
         task_id = row.get("ArrayTaskID", str(i + 1))
         out_dir = os.path.join(args.out_dir, f"task_{task_id}")
@@ -513,7 +541,9 @@ def cmd_sweep(args):
                args.experiment, "--out-dir", out_dir] + extra + \
             shlex.split(args.extra_args)
         print("sweep task", task_id, ":", " ".join(cmd), flush=True)
-        subprocess.run(cmd, check=True)
+        _drain(args.max_parallel)
+        procs.append((task_id, subprocess.Popen(cmd)))
+    _drain(1)
 
 
 def cmd_omega_k(args):
@@ -757,6 +787,8 @@ def main(argv=None):
                    help="run only this 1-based task id")
     p.add_argument("--out-dir", default="sweep")
     p.add_argument("--extra-args", default="")
+    p.add_argument("--max-parallel", type=int, default=1,
+                   help="run up to this many sweep tasks concurrently")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("omega-k",
