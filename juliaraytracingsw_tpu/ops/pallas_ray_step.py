@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: fused RK substep over gathered patch rows.
+
+The patch-gather ray path (rays/patch.py + rays/raytrace.raytrace_tables)
+splits one substep into (a) ONE scattered row-gather from the packed
+(old|new) pair table — index-count-bound, XLA's gather is already at the
+hardware floor (~16-19 ns/row measured, benchmarks/profiling/) — and (b)
+the RK stage math, which in pure jnp re-reads the 1M x 160 gathered rows
+from HBM for every stage x time level (8 passes x 640 MB for RK4 at the
+hero config). This kernel fuses (b): rows are blocked into VMEM once, all
+RK stages interpolate and combine in-register, and only the 4 updated
+packet components leave the core. It is the TPU answer to the reference's
+fused CUDA-texture RHS closures (raytracing/GPURaytracing.jl:32-65), one
+level higher: the whole *integrator substep* is one kernel, not one RHS.
+
+Layout: rows arrive TRANSPOSED, ``rows_T (2W, N)``, so tap t of every
+packet is the contiguous vector ``rows_T[t, :]`` — static sublane slices,
+no lane shuffles (a (N, 160) row-major block would need a per-tap lane
+extract). Packet state arrives stacked ``st (7, N)`` = [x y k l sign bx by]
+and leaves ``(4, N)`` = [x' y' k' l']. Traced scalars ([a0, h] of the
+substep) ride in SMEM; everything shape-like is static.
+
+Differentiation: ``make_fused_substep`` carries a custom VJP whose backward
+re-runs the mathematically-identical jnp implementation (``substep_jnp``)
+under ``jax.vjp`` — the forward's in-register savings don't constrain the
+backward, and gradients keep flowing into the patch table (and through it
+to the flow spectrum) exactly as on the pure-jnp path.
+
+Weight formulas mirror rays/patch.py exactly (same clips, same tap layout
+index ``o*W + f*ph*pw + jy*pw + jx``), so the fused path matches
+patch_interpolate to float round-off and is pinned to it by tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rays.patch import PATCH_SHAPES
+
+__all__ = ["make_fused_substep", "substep_jnp", "tpu_available"]
+
+_RK4_STAGES = ((0.0, ()), (0.5, (0.5,)), (0.5, (0.0, 0.5)),
+               (1.0, (0.0, 0.0, 1.0)))
+_RK4_B = (1 / 6, 1 / 3, 1 / 3, 1 / 6)
+
+
+def tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def _axis_weights(local, size, lo, interp):
+    """Per-axis tap weights as a list of ``size`` vectors, matching
+    rays/patch._axis_weights_* (same clips/pieces) without iota masks —
+    pure elementwise select chains that Mosaic vectorises directly."""
+    if interp == "bilinear":
+        j0 = jnp.clip(jnp.floor(local), -float(lo), float(size - lo - 2))
+        a = local - j0
+        taps = j0 + lo          # integer-valued float in [0, size-2]
+        ws = []
+        for j in range(size):
+            w = jnp.where(taps == float(j), 1.0 - a, 0.0)
+            if j >= 1:
+                w = w + jnp.where(taps == float(j - 1), a, 0.0)
+            ws.append(w)
+        return ws
+    if interp == "bspline":
+        j0 = jnp.clip(jnp.floor(local), -float(lo - 1), float(size - lo - 3))
+        a = local - j0
+        a2, a3 = a * a, a * a * a
+        w4 = ((1.0 - 3.0 * a + 3.0 * a2 - a3) / 6.0,
+              (4.0 - 6.0 * a2 + 3.0 * a3) / 6.0,
+              (1.0 + 3.0 * a + 3.0 * a2 - 3.0 * a3) / 6.0,
+              a3 / 6.0)
+        base = j0 + (lo - 1)    # first tap slot, integer-valued float
+        ws = []
+        for j in range(size):
+            w = None
+            for s in range(4):
+                # base ranges over [0, size-4]; only matching terms kept
+                if 0 <= j - s <= size - 4:
+                    term = jnp.where(base == float(j - s), w4[s], 0.0)
+                    w = term if w is None else w + term
+            ws.append(w if w is not None else jnp.zeros_like(a))
+        return ws
+    raise ValueError(f"unsupported fused interp {interp!r}")
+
+
+def _substep_math(read_tap, x, y, kk, ll, sgn, a0, da, h, cfg, interp):
+    """One RK4 substep in patch-local coordinates. ``read_tap(t)`` abstracts
+    the data source (pallas VMEM ref vs jnp array) so the kernel and its
+    jnp twin are literally the same code. Positions x/y are PRE-SHIFTED to
+    the patch base (x - x0 - bx*dx), so local offsets are just q/d."""
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    npp = ph * pw
+
+    def sample(qx, qy, a):
+        wx = _axis_weights(qx / dxg, pw, lo, interp)
+        wy = _axis_weights(qy / dyg, ph, lo, interp)
+        w = [wy[jy] * wx[jx] for jy in range(ph) for jx in range(pw)]
+        vals = []
+        for c in range(5):
+            vo = None
+            vn = None
+            for t in range(npp):
+                idx = c * npp + t
+                ro = read_tap(idx) * w[t]
+                rn = read_tap(W + idx) * w[t]
+                vo = ro if vo is None else vo + ro
+                vn = rn if vn is None else vn + rn
+            vals.append((1.0 - a) * vo + a * vn)
+        return vals
+
+    def rhs(qx, qy, qk, ql, a):
+        u, v, ux, uy, vx = sample(qx, qy, a)
+        om = sgn * jnp.sqrt(f * f + Cg * Cg * (qk * qk + ql * ql))
+        cg = (Cg * Cg) / om
+        return (u + cg * qk, v + cg * ql,
+                -(ux * qk + vx * ql), -(uy * qk - ux * ql))
+
+    ks = []
+    for ci, aij in _RK4_STAGES:
+        qx, qy, qk, ql = x, y, kk, ll
+        for kprev, aa in zip(ks, aij):
+            if aa:
+                qx = qx + h * aa * kprev[0]
+                qy = qy + h * aa * kprev[1]
+                qk = qk + h * aa * kprev[2]
+                ql = ql + h * aa * kprev[3]
+        ks.append(rhs(qx, qy, qk, ql, a0 + ci * da))
+    dx = dy = dk = dl = None
+    for kv, b in zip(ks, _RK4_B):
+        dx = kv[0] * b if dx is None else dx + kv[0] * b
+        dy = kv[1] * b if dy is None else dy + kv[1] * b
+        dk = kv[2] * b if dk is None else dk + kv[2] * b
+        dl = kv[3] * b if dl is None else dl + kv[3] * b
+    return x + h * dx, y + h * dy, kk + h * dk, ll + h * dl
+
+
+def _kernel(rows_ref, st_ref, scal_ref, out_ref, *, cfg, interp, da,
+            x0, y0):
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    a0 = scal_ref[0]
+    h = scal_ref[1]
+    x = st_ref[0:1, :]
+    y = st_ref[1:2, :]
+    kk = st_ref[2:3, :]
+    ll = st_ref[3:4, :]
+    sgn = st_ref[4:5, :]
+    bx = st_ref[5:6, :]
+    by = st_ref[6:7, :]
+    shx = x0 + bx * dxg      # patch base in physical coords
+    shy = y0 + by * dyg
+
+    def read_tap(t):
+        return rows_ref[t:t + 1, :]
+
+    nx_, ny_, nk_, nl_ = _substep_math(
+        read_tap, x - shx, y - shy, kk, ll, sgn, a0, da, h, cfg, interp)
+    out_ref[0:1, :] = nx_ + shx
+    out_ref[1:2, :] = ny_ + shy
+    out_ref[2:3, :] = nk_
+    out_ref[3:4, :] = nl_
+
+
+def substep_jnp(rows_T, st, scal, *, cfg, interp, da, x0, y0):
+    """jnp twin of the kernel (same formulas/order) — non-TPU path, the
+    custom-VJP backward, and the correctness pin for tests."""
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    x, y, kk, ll, sgn, bx, by = (st[i] for i in range(7))
+    a0, h = scal[0], scal[1]
+    shx = x0 + bx * dxg
+    shy = y0 + by * dyg
+
+    def read_tap(t):
+        return rows_T[t]
+
+    nx_, ny_, nk_, nl_ = _substep_math(
+        read_tap, x - shx, y - shy, kk, ll, sgn, a0, da, h, cfg, interp)
+    return jnp.stack([nx_ + shx, ny_ + shy, nk_, nl_])
+
+
+_CACHE: dict = {}
+
+
+def make_fused_substep(rp, interp: str, da: float, block: int = 2048,
+                       impl: str = "auto"):
+    """Build (and cache) the fused substep callable for a RayParams config.
+
+    Returns ``f(rows_T (2W, N), st (7, N), scal (2,)[a0, h]) -> (4, N)``.
+    ``impl``: 'pallas' (real Mosaic kernel), 'interpret' (pallas interpreter,
+    CPU tests), 'jnp' (the jnp twin — identical math, no pallas), or 'auto'
+    (pallas on TPU backends, jnp elsewhere)."""
+    ph, pw, lo = PATCH_SHAPES[interp]
+    W = 5 * ph * pw
+    if impl == "auto":
+        impl = "pallas" if tpu_available() else "jnp"
+    key = (rp, interp, float(da), block, impl)
+    if key in _CACHE:
+        return _CACHE[key]
+    cfg = (ph, pw, lo, W, rp.dx, rp.dy, rp.f, rp.Cg)
+    if impl == "jnp":
+        fn = partial(substep_jnp, cfg=cfg, interp=interp, da=da,
+                     x0=rp.x0, y0=rp.y0)
+        _CACHE[key] = fn
+        return fn
+    interpret = impl == "interpret"
+    kernel = partial(_kernel, cfg=cfg, interp=interp, da=da,
+                     x0=rp.x0, y0=rp.y0)
+
+    def pallas_fwd(rows_T, st, scal):
+        n = rows_T.shape[1]
+        grid = (pl.cdiv(n, block),)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * W, block), lambda i: (0, i)),
+                pl.BlockSpec((7, block), lambda i: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((4, block), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((4, n), rows_T.dtype),
+            interpret=interpret,
+        )(rows_T, st, scal)
+
+    @jax.custom_vjp
+    def fused(rows_T, st, scal):
+        return pallas_fwd(rows_T, st, scal)
+
+    def fwd(rows_T, st, scal):
+        return fused(rows_T, st, scal), (rows_T, st, scal)
+
+    def bwd(res, g):
+        rows_T, st, scal = res
+        _, vjp = jax.vjp(
+            lambda r, s, c: substep_jnp(r, s, c, cfg=cfg, interp=interp,
+                                        da=da, x0=rp.x0, y0=rp.y0),
+            rows_T, st, scal,
+        )
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    _CACHE[key] = fused
+    return fused

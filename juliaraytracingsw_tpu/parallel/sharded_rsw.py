@@ -224,14 +224,34 @@ class ShardedRSW:
     def make_coupled_frame(self, rp: RayParams, flow_steps: int,
                            ray_substeps: int = 1, ray_method: str = "rk4",
                            k_cutoff: float | None = None,
-                           k0: float | None = None):
+                           k0: float | None = None,
+                           overlap: bool = False):
         """Jitted frame interleaving sharded flow steps with data-parallel
         ray substeps — the multi-chip equivalent of
-        coupled.driver.make_coupled_frame."""
+        coupled.driver.make_coupled_frame.
+
+        ``overlap=True`` pipelines the rays one flow interval behind the
+        PDE: each scan iteration advances the flow to t_{n+2} (whose
+        interpolation-field ``all_gather`` rides the ICI) while the packets
+        advance through the already-gathered [t_n, t_{n+1}] pair — the two
+        halves share no data, so XLA's latency-hiding scheduler can overlap
+        the collective with the ray gather/VPU work (SURVEY.md §2.7
+        "flow/ray overlap"). A final catch-up interval after the scan makes
+        the trajectories IDENTICAL to the sequential frame — same field
+        pairs, same order — pinned by tests/test_sharded_rsw.py."""
         g = self.grid
         ny, nx = g.ny, g.nx
         _, step_fn = self.stepper()
         fields_fn = self._fields_jit()
+
+        def trace(packets, T_old, T_new, t0, t1):
+            packets = raytrace_tables(
+                packets, make_pair_table(T_old, T_new), t0, t1, rp, ny, nx,
+                nsubsteps=ray_substeps, method=ray_method,
+            )
+            if k_cutoff is not None:
+                packets = k_cutoff_reset(packets, k_cutoff, k0)
+            return packets
 
         def one(carry, _):
             sol, clock, sstate, packets, fields_old, T_old = carry
@@ -239,21 +259,40 @@ class ShardedRSW:
             sol, clock, sstate = step_fn(sol, clock, sstate)
             fields_new = fields_fn(sol)
             T_new = build_patch_table(fields_new, rp.interp)
-            T_pair = make_pair_table(T_old, T_new)
-            packets = raytrace_tables(
-                packets, T_pair, t0, clock.t, rp, ny, nx,
-                nsubsteps=ray_substeps, method=ray_method,
-            )
-            if k_cutoff is not None:
-                packets = k_cutoff_reset(packets, k_cutoff, k0)
+            packets = trace(packets, T_old, T_new, t0, clock.t)
             return (sol, clock, sstate, packets, fields_new, T_new), None
+
+        def one_overlap(carry, _):
+            # carry: flow at t_{n+1}; packets at t_n with the gathered
+            # (T_n, T_{n+1}) pair in hand
+            sol, clock, sstate, packets, T_prev, T_cur, t_prev = carry
+            t_cur = clock.t
+            sol, clock, sstate = step_fn(sol, clock, sstate)   # -> t_{n+2}
+            fields_next = fields_fn(sol)                       # all_gather
+            T_next = build_patch_table(fields_next, rp.interp)
+            # independent of the step/gather above -> overlappable
+            packets = trace(packets, T_prev, T_cur, t_prev, t_cur)
+            return (sol, clock, sstate, packets, T_cur, T_next, t_cur), None
 
         @jax.jit
         def frame(sol, clock, sstate, packets: Packets):
             fields0 = fields_fn(sol)
             T0 = build_patch_table(fields0, rp.interp)
-            carry = (sol, clock, sstate, packets, fields0, T0)
-            carry, _ = jax.lax.scan(one, carry, None, length=flow_steps)
-            return carry[:4]
+            if not overlap:
+                carry = (sol, clock, sstate, packets, fields0, T0)
+                carry, _ = jax.lax.scan(one, carry, None, length=flow_steps)
+                return carry[:4]
+            # prologue: flow 0 -> 1 (no ray interval exists yet)
+            t0 = clock.t
+            sol, clock, sstate = step_fn(sol, clock, sstate)
+            fields1 = fields_fn(sol)
+            T1 = build_patch_table(fields1, rp.interp)
+            carry = (sol, clock, sstate, packets, T0, T1, t0)
+            carry, _ = jax.lax.scan(one_overlap, carry, None,
+                                    length=flow_steps - 1)
+            sol, clock, sstate, packets, T_prev, T_cur, t_prev = carry
+            # epilogue: catch the rays up through the last interval
+            packets = trace(packets, T_prev, T_cur, t_prev, clock.t)
+            return sol, clock, sstate, packets
 
         return frame

@@ -249,6 +249,26 @@ def _use_patch(rp: RayParams) -> bool:
     return rp.gather == "patch" and rp.interp in PATCH_SHAPES
 
 
+def _fused_impl(rp: RayParams, method: str) -> str | None:
+    """Opt-in fused-substep implementation (ops/pallas_ray_step) for the
+    patch path; None (default) keeps the per-stage jnp sampler. Controlled
+    by JRSW_FUSED = off (default) | pallas | interpret | jnp | auto.
+
+    Off by default on purpose: on this repo's tunneled dev TPU, Mosaic
+    custom-calls never finish compiling (even a trivial pallas_call hangs
+    >20 min), and the jnp twin's transposed layout measured 17x SLOWER than
+    the per-stage path (602 ms vs 35 ms per 1M-packet substep) — XLA
+    lowers the 320 sublane slices to unfused HBM passes. On a directly
+    attached TPU, JRSW_FUSED=pallas enables the real kernel. Read at trace
+    time: set before the first raytrace call (tests jax.clear_caches())."""
+    import os
+
+    mode = os.environ.get("JRSW_FUSED", "off")
+    if mode == "off" or method != "rk4" or rp.interp not in PATCH_SHAPES:
+        return None
+    return mode  # 'auto' resolves inside make_fused_substep
+
+
 @partial(jax.jit, static_argnames=("nsubsteps", "method", "rp", "ny", "nx"))
 def raytrace_tables(
     packets: Packets,
@@ -264,14 +284,42 @@ def raytrace_tables(
     """Patch-table fast path: advance packets through a pre-built (old|new)
     pair table (see rays/patch.build_patch_table + make_pair_table). Used by
     the coupled frame so the per-snapshot table build is amortised over all
-    substeps/flow steps."""
+    substeps/flow steps.
+
+    For RK4 the whole substep runs through the fused Pallas kernel
+    (ops/pallas_ray_step) on TPU backends: one row-gather, one in-VMEM
+    kernel for all stage math — the pure-jnp sampler re-reads the gathered
+    rows from HBM once per stage x time level. JRSW_FUSED=off restores the
+    per-stage path; non-TPU backends use the kernel's jnp twin (identical
+    formulas, pinned by tests)."""
     h = (t1 - t0) / nsubsteps
     da = 1.0 / nsubsteps
+    impl = _fused_impl(rp, method)
 
-    def body(p, i):
-        a0 = i * da
-        sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
-        return _step(p, sample, a0, da, h, rp, method), None
+    if impl is not None:
+        from ..ops.pallas_ray_step import make_fused_substep
+
+        fused = make_fused_substep(rp, rp.interp, da, impl=impl)
+
+        def body(p, i):
+            a0 = i * da
+            fi_x = (p.x - rp.x0) / rp.dx
+            fi_y = (p.y - rp.y0) / rp.dy
+            bx = jnp.floor(fi_x)
+            by = jnp.floor(fi_y)
+            cell = (
+                jnp.remainder(by.astype(jnp.int32), ny) * nx
+                + jnp.remainder(bx.astype(jnp.int32), nx)
+            )
+            rows_T = jnp.take(T_pair, cell, axis=0).T
+            st = jnp.stack([p.x, p.y, p.k, p.l, p.sign, bx, by])
+            out = fused(rows_T, st, jnp.stack([a0, h]))
+            return Packets(out[0], out[1], out[2], out[3], p.sign), None
+    else:
+        def body(p, i):
+            a0 = i * da
+            sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
+            return _step(p, sample, a0, da, h, rp, method), None
 
     packets, _ = jax.lax.scan(
         body, packets, jnp.arange(nsubsteps, dtype=packets.x.dtype)

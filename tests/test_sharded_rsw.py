@@ -121,3 +121,34 @@ class TestShardedCoupled:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-5)
         assert int(clock_out.step) == 5
+
+
+@needs_8
+def test_overlap_frame_matches_sequential():
+    """The pipelined (overlap=True) coupled frame advances rays through the
+    SAME field pairs as the sequential frame — identical trajectories."""
+    g, model, sol0 = _setup()
+    mesh = make_mesh(8)
+    sh = ShardedRSW(g, model.params, mesh, dt=DT)
+    k0 = float(np.sqrt(3.0) * F / CG)
+    rp = RayParams(f=F, Cg=CG, x0=float(g.x[0]), y0=float(g.y[0]),
+                   dx=g.dx, dy=g.dy)
+    packets = lattice_packets(8, g.Lx, g.Ly, k0=k0, k_ring=True)
+    init_s, _ = sh.stepper()
+    sol_s = sh.shard_solution(sol0)
+    pk_s = shard_packets(packets, mesh)
+
+    frame_seq = sh.make_coupled_frame(rp, 5, k_cutoff=100.0 * F / CG, k0=k0)
+    frame_ovl = sh.make_coupled_frame(rp, 5, k_cutoff=100.0 * F / CG, k0=k0,
+                                      overlap=True)
+    sol_a, clock_a, _, pk_a = frame_seq(sol_s, zero_clock(), init_s(sol_s),
+                                        pk_s)
+    sol_b, clock_b, _, pk_b = frame_ovl(sol_s, zero_clock(), init_s(sol_s),
+                                        pk_s)
+    np.testing.assert_array_equal(sh.unshard(sol_a), sh.unshard(sol_b))
+    for a, b in zip((pk_a.x, pk_a.y, pk_a.k, pk_a.l),
+                    (pk_b.x, pk_b.y, pk_b.k, pk_b.l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert int(clock_b.step) == 5 and np.isclose(float(clock_a.t),
+                                                 float(clock_b.t))
