@@ -121,6 +121,60 @@ def _axis_weights_bspline(local, size, lo):
     return w
 
 
+def _weight_matrix(local_x, local_y, method: str):
+    """(N, ph*pw) separable tap-weight matrix w2[n, jy*pw+jx]."""
+    ph, pw, lo = PATCH_SHAPES[method]
+    if method == "bilinear":
+        wx = _axis_weights_bilinear(local_x, pw, lo)
+        wy = _axis_weights_bilinear(local_y, ph, lo)
+    elif method == "bspline":
+        wx = _axis_weights_bspline(local_x, pw, lo)
+        wy = _axis_weights_bspline(local_y, ph, lo)
+    else:
+        raise ValueError(f"unknown patch interp {method!r}")
+    return (wy[:, :, None] * wx[:, None, :]).reshape(local_x.shape[0],
+                                                     ph * pw)
+
+
+def _selector(ph: int, pw: int, F: int, dtype):
+    """(F*ph*pw, F) 0/1 matrix summing each field's tap block."""
+    import numpy as np
+
+    pp = ph * pw
+    M = np.zeros((F * pp, F), np.float32)
+    for f in range(F):
+        M[f * pp:(f + 1) * pp, f] = 1.0
+    return jnp.asarray(M, dtype)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def patch_interpolate_pair(rows_pair, local_x, local_y, a,
+                           method: str = "bilinear"):
+    """Time-blended evaluation of all F fields from gathered PAIR rows.
+
+    rows_pair : (N, 2*F*ph*pw) rows from a make_pair_table gather
+    a         : scalar blend (0 -> old snapshot, 1 -> new)
+    returns   : (F, N)
+
+    MXU formulation: one full-width elementwise multiply by the tiled
+    separable weights, then a (N, 2W) x (2W, F) matmul whose selector
+    matrix folds BOTH the per-field tap reduction and the time blend —
+    the (N, F, ph, pw) broadcast form forces minor-dim relayouts on TPU,
+    while this shape keeps the whole reduction on the MXU and reads the
+    gathered rows exactly once."""
+    ph, pw, lo = PATCH_SHAPES[method]
+    pp = ph * pw
+    N, W2 = rows_pair.shape
+    F = W2 // (2 * pp)
+    W = F * pp
+    w2 = _weight_matrix(local_x, local_y, method)          # (N, pp)
+    w_t = jnp.broadcast_to(w2[:, None, :], (N, F, pp)).reshape(N, W)
+    w_t2 = jnp.concatenate([w_t, w_t], axis=1)             # (N, 2W)
+    M = _selector(ph, pw, F, rows_pair.dtype)              # (W, F)
+    Mb = jnp.concatenate([(1.0 - a) * M, a * M], axis=0)   # (2W, F)
+    return ((rows_pair * w_t2) @ Mb).T                     # (F, N)
+
+
 @partial(jax.jit, static_argnames=("method",))
 def patch_interpolate(patches, local_x, local_y, method: str = "bilinear"):
     """Evaluate all F fields from packed patches at local offsets.

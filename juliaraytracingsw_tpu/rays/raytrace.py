@@ -46,7 +46,12 @@ from ..core.spectral import irfft2, spectral_gradients
 from .dispersion import group_velocity
 from .interp import bspline_prefilter_mask, interpolate
 from .packets import Packets
-from .patch import PATCH_SHAPES, build_patch_table, patch_interpolate
+from .patch import (
+    PATCH_SHAPES,
+    build_patch_table,
+    patch_interpolate,
+    patch_interpolate_pair,
+)
 
 __all__ = [
     "RayParams",
@@ -171,9 +176,19 @@ def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
         + jnp.remainder(bx.astype(jnp.int32), nx)
     )
     rows = jnp.take(T_pair, cell, axis=0)
+    method = rp.interp
+
+    if _patch_impl() == "mxu":
+        # single-pass MXU form: tap reduction + time blend in one matmul
+        def sample(qx, qy, a):
+            lx = (qx - rp.x0) / rp.dx - bx
+            ly = (qy - rp.y0) / rp.dy - by
+            return patch_interpolate_pair(rows, lx, ly, a, method=method)
+
+        return sample
+
     W = rows.shape[1] // 2
     rows_old, rows_new = rows[:, :W], rows[:, W:]
-    method = rp.interp
 
     def sample(qx, qy, a):
         lx = (qx - rp.x0) / rp.dx - bx
@@ -247,6 +262,16 @@ def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
 
 def _use_patch(rp: RayParams) -> bool:
     return rp.gather == "patch" and rp.interp in PATCH_SHAPES
+
+
+def _patch_impl() -> str:
+    """Stage-math formulation for the patch sampler, JRSW_PATCH_IMPL:
+    'split' (default): per-time-level (N,F,ph,pw) broadcast reduction;
+    'mxu': single-pass rows*(tiled weights) @ blend-selector matmul
+    (rays/patch.patch_interpolate_pair). Read at trace time."""
+    import os
+
+    return os.environ.get("JRSW_PATCH_IMPL", "split")
 
 
 def _fused_impl(rp: RayParams, method: str) -> str | None:

@@ -132,3 +132,21 @@ def test_raytrace_tables_fused_gradient_flows_to_table():
         jax.clear_caches()
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "bspline"])
+def test_patch_impl_mxu_matches_split(interp):
+    """JRSW_PATCH_IMPL=mxu (single-pass matmul stage math) reproduces the
+    default split formulation through raytrace_tables."""
+    rp, pk, T_pair = _setup(interp)
+    out_ref = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
+    os.environ["JRSW_PATCH_IMPL"] = "mxu"
+    try:
+        jax.clear_caches()
+        out = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
+    finally:
+        del os.environ["JRSW_PATCH_IMPL"]
+        jax.clear_caches()
+    for a, b in zip(out, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
