@@ -142,12 +142,12 @@ def make_coupled_frame(
             # raytracing/RaytracingDriver.jl:257-259)
             clock = Clock(clock.t + dt, clock.step + 1)
             fields_new, T_new = fields_old, T_old
-            T_pair = make_pair_table(T_old, T_new) if use_patch else ()
+            T_pair = make_pair_table(T_old, T_new, rp.table_dtype) if use_patch else ()
         else:
             sol, clock, sstate = step_fn(sol, clock, sstate)
             fields_new = fields_from_psih(psih_fn(sol), grid, rp.interp)
             T_new = build_patch_table(fields_new, rp.interp) if use_patch else ()
-            T_pair = make_pair_table(T_old, T_new) if use_patch else ()
+            T_pair = make_pair_table(T_old, T_new, rp.table_dtype) if use_patch else ()
         if adaptive:
             packets, _info = raytrace_adaptive(
                 packets, fields_old, fields_new, t0, clock.t, rp, **ray_opts,

@@ -246,7 +246,7 @@ class ShardedRSW:
 
         def trace(packets, T_old, T_new, t0, t1):
             packets = raytrace_tables(
-                packets, make_pair_table(T_old, T_new), t0, t1, rp, ny, nx,
+                packets, make_pair_table(T_old, T_new, rp.table_dtype), t0, t1, rp, ny, nx,
                 nsubsteps=ray_substeps, method=ray_method,
             )
             if k_cutoff is not None:

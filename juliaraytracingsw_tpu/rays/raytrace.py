@@ -75,6 +75,16 @@ class RayParams(NamedTuple):
     dy: float
     interp: str = "bilinear"   # 'bilinear' | 'bspline' | 'bicubic'
     gather: str = "patch"      # 'patch' (fast) | 'taps' (oracle)
+    # Storage dtype of the gathered pair table ('float32' | 'bfloat16').
+    # TPU scattered gathers are index-count-bound with ~128 *32-bit words*
+    # of row width riding free; bfloat16 packs two values per word, halving
+    # the per-row gather units (bilinear pair 160->80 words, bspline pair
+    # 360->180). Stage math always upcasts to f32 after the gather, so only
+    # the stored field values are rounded — comparable to the reference's
+    # CUDA texture path, whose hardware bilinear weights are 9-bit fixed
+    # point (raytracing/GPURaytracing.jl:118-127 texture binds). Default
+    # keeps full f32 accuracy.
+    table_dtype: str = "float32"
 
 
 def _maybe_prefilter(stackh, grid, interp: str):
@@ -152,13 +162,18 @@ def _make_taps_sampler(fields_old, fields_new, rp: RayParams):
     return sample
 
 
-def make_pair_table(T_old, T_new):
+def make_pair_table(T_old, T_new, dtype: str = "float32"):
     """Concatenate two per-snapshot patch tables into one (R, 2W) pair table
     so each substep costs ONE row-gather total: on TPU a scattered gather is
     index-count-bound (~13-18 ns/row regardless of row width up to ~160
     lanes; benchmarks/profiling/prof_patch_path.py measured 18 ms for one
-    1Mx160 take vs 27 ms for two 1Mx80 takes)."""
-    return jnp.concatenate([T_old, T_new], axis=1)
+    1Mx160 take vs 27 ms for two 1Mx80 takes).
+
+    ``dtype='bfloat16'`` stores the pair table half-width (two values per
+    32-bit word) to cut the gather's row-width cost; consumers upcast the
+    gathered rows to f32 before any stage math (see RayParams.table_dtype).
+    """
+    return jnp.concatenate([T_old, T_new], axis=1).astype(jnp.dtype(dtype))
 
 
 def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
@@ -175,7 +190,7 @@ def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
         jnp.remainder(by.astype(jnp.int32), ny) * nx
         + jnp.remainder(bx.astype(jnp.int32), nx)
     )
-    rows = jnp.take(T_pair, cell, axis=0)
+    rows = jnp.take(T_pair, cell, axis=0).astype(jnp.float32)
     method = rp.interp
 
     if _patch_impl() == "mxu":
@@ -336,7 +351,7 @@ def raytrace_tables(
                 jnp.remainder(by.astype(jnp.int32), ny) * nx
                 + jnp.remainder(bx.astype(jnp.int32), nx)
             )
-            rows_T = jnp.take(T_pair, cell, axis=0).T
+            rows_T = jnp.take(T_pair, cell, axis=0).astype(jnp.float32).T
             st = jnp.stack([p.x, p.y, p.k, p.l, p.sign, bx, by])
             out = fused(rows_T, st, jnp.stack([a0, h]))
             return Packets(out[0], out[1], out[2], out[3], p.sign), None
@@ -372,7 +387,7 @@ def raytrace(
     _, ny, nx = fields_old.shape
     if _use_patch(rp):
         T_pair = make_pair_table(build_patch_table(fields_old, rp.interp),
-                                 build_patch_table(fields_new, rp.interp))
+                                 build_patch_table(fields_new, rp.interp), rp.table_dtype)
         return raytrace_tables(packets, T_pair,
                                t0, t1, rp, ny, nx, nsubsteps, method)
 
@@ -433,7 +448,7 @@ def raytrace_adaptive(
     use_patch = _use_patch(rp)
     if use_patch:
         T_pair = make_pair_table(build_patch_table(fields_old, rp.interp),
-                                 build_patch_table(fields_new, rp.interp))
+                                 build_patch_table(fields_new, rp.interp), rp.table_dtype)
 
     def attempt(p, t, h):
         """One DP5(4) attempt from (p, t) with size h -> (p5, err_norm)."""

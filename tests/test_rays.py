@@ -188,6 +188,32 @@ class TestRays:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
 
+    def test_bf16_table_tracks_f32(self, rng):
+        """table_dtype='bfloat16' (half-width gather rows, see
+        RayParams.table_dtype) must track the f32 patch path to bf16
+        rounding accuracy, and the default must stay bit-identical f32."""
+        g = make_grid(64)
+        f0 = fields_from_psih(band_limited_psih(g, rng, amp=0.05), g)
+        f1 = fields_from_psih(band_limited_psih(g, rng, amp=0.05), g)
+        p = lattice_packets(6, g.Lx, g.Ly, k0=6.0, k_ring=True)
+        base = dict(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                    dx=g.dx, dy=g.dy)
+        out_f32 = raytrace(p, f0, f1, 0.0, 0.5, RayParams(**base),
+                           nsubsteps=16)
+        out_bf16 = raytrace(p, f0, f1, 0.0, 0.5,
+                            RayParams(**base, table_dtype="bfloat16"),
+                            nsubsteps=16)
+        # positions advect by O(u*t); bf16 stores fields to ~0.4% relative
+        for a, b in zip(out_bf16[:4], out_f32[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=2e-3)
+        # default path unchanged
+        out_default = raytrace(p, f0, f1, 0.0, 0.5,
+                               RayParams(**base, table_dtype="float32"),
+                               nsubsteps=16)
+        for a, b in zip(out_default[:4], out_f32[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_patch_gather_gradients_match(self, rng):
         """d(loss)/d(fields) must agree between patch and taps paths (the
         row-gather transposes to a scatter-add)."""
