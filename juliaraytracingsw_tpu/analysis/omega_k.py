@@ -20,8 +20,36 @@ import numpy as np
 
 __all__ = [
     "hann", "demean", "detrend", "clean_fft", "collect_time_series",
+    "count_snapshots", "snapshot_shape",
     "omega_k_spectrum", "stft_omega_k", "cubic_velocity_spectra",
 ]
+
+
+def count_snapshots(reader, group: str = "snapshots/sol",
+                    skip_first: bool = True) -> int:
+    """Number of frames a collect_time_series pass will yield — metadata
+    only (h5py group key counts), no snapshot data is read. Used to size
+    bounded-memory k sub-blocks before streaming."""
+    import h5py
+
+    n = 0
+    for path in reader.paths:
+        with h5py.File(path, "r") as f:
+            if group in f:
+                n += len(f[group].keys())
+    return max(n - int(skip_first), 0)
+
+
+def snapshot_shape(reader, group: str = "snapshots/sol"):
+    """Shape of one stored snapshot (metadata only)."""
+    import h5py
+
+    for path in reader.paths:
+        with h5py.File(path, "r") as f:
+            if group in f:
+                for s in f[group]:
+                    return f[group][s].shape
+    return ()
 
 
 def hann(n: int) -> np.ndarray:

@@ -128,10 +128,15 @@ def make_coupled_frame(
     many coupled steps are the long-context problem here).
     """
     grid = model.grid
-    adaptive = ray_method == "adaptive"
+    adaptive = ray_method in ("adaptive", "adaptive7")
     # the adaptive integrator builds its own patch tables from the fields
     use_patch = _use_patch(rp) and not adaptive
-    ray_opts = ray_opts or {}
+    ray_opts = dict(ray_opts or {})
+    if adaptive:
+        # 'adaptive' -> embedded DP5(4); 'adaptive7' -> Fehlberg 7(8), the
+        # reference's Vern7 accuracy class (GPURaytracing.jl:111-113)
+        ray_opts.setdefault("pair",
+                            "rkf78" if ray_method == "adaptive7" else "dopri5")
     ny, nx = grid.ny, grid.nx
 
     def one(carry, _):
@@ -227,7 +232,7 @@ class CoupledDriver:
     use_filter: bool = False
     filter_kwargs: dict | None = None
     ray_substeps: int = 1
-    ray_method: str = "rk4"     # 'rk4' | 'dopri5' | 'midpoint' | 'adaptive'
+    ray_method: str = "rk4"  # 'rk4'|'dopri5'|'midpoint'|'adaptive'|'adaptive7'
     ray_opts: dict | None = None   # adaptive: rtol/atol/max_steps
     k_cutoff: float | None = None
     k0: float | None = None

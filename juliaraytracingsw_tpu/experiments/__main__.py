@@ -21,8 +21,20 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+if os.environ.get("JRSW_PLATFORM"):
+    # Honor an explicit platform override BEFORE any backend initialises.
+    # Needed because some TPU images pre-register the accelerator plugin at
+    # interpreter start (sitecustomize), where the plain JAX_PLATFORMS env
+    # var is ignored; jax.config still wins while the backend is uninitialised
+    # (same mechanism as tests/conftest.py). Used by omega-k --fanout to keep
+    # its pure-numpy analysis children off the chip.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JRSW_PLATFORM"])
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -554,11 +566,42 @@ def cmd_omega_k(args):
     arrays over wavenumber (fourier-job.sbatch)."""
     import h5py
 
-    from ..analysis.omega_k import clean_fft, collect_time_series, hann
+    from ..analysis.omega_k import (
+        clean_fft,
+        collect_time_series,
+        count_snapshots,
+        hann,
+        snapshot_shape,
+    )
     from ..core.grid import make_grid
     from ..io.output import SequencedReader
     from ..models.rsw import RSWParams
     from ..models.wave_vortex import balanced_wave_bases
+
+    if args.fanout > 0:
+        # multi-process fan-out over the k range via the sweep launcher
+        # (VERDICT r2 item 6; the reference's fourier-job.sbatch arrays)
+        from ..parallel.launcher import launch_sweep
+
+        base_cmd = [sys.executable, "-m", "juliaraytracingsw_tpu.experiments",
+                    "omega-k", args.run_dir, "--base", args.base,
+                    "--model", args.model, "--out-dir", args.out_dir,
+                    "--ntasks", str(args.fanout),
+                    "--mem-cap-gb", str(args.mem_cap_gb)]
+        if not args.decompose:
+            base_cmd.append("--no-decompose")
+        rows = [{"task": i + 1} for i in range(args.fanout)]
+        # omega-k tasks are pure numpy/h5py — keep N concurrent children off
+        # the accelerator (they must not contend for the chip)
+        rcs = launch_sweep(base_cmd, rows,
+                           os.path.join(args.out_dir, "_logs"),
+                           max_parallel=args.fanout, out_flag=None,
+                           env_extra={"JRSW_PLATFORM": "cpu"})
+        bad = [i + 1 for i, rc in enumerate(rcs) if rc != 0]
+        if bad:
+            raise SystemExit(f"omega-k fan-out tasks failed: {bad}")
+        print(f"fan-out of {args.fanout} omega-k tasks complete")
+        return
 
     reader = SequencedReader(os.path.join(args.run_dir, args.base))
     nx = int(reader.read("grid/nx"))
@@ -572,81 +615,116 @@ def cmd_omega_k(args):
     k_hi = nkr if args.task == args.ntasks else min(args.task * job, nkr)
     print(f"task {args.task}/{args.ntasks}: k rows [{k_lo}, {k_hi})")
 
-    complex_rows = {}
     if args.model == "ty":
-        # Thomas-Yamada rows: barotropic (ut, vt) from zeta_t, wave/geo-
-        # projected baroclinic (ug, vg, uw, vw), and complex U = u + i v
-        # whose one-sided FFT separates +/- frequency branches
-        # (thomasyamada/TY_k_omega.jl:78-107)
         from ..models.thomasyamada import ty_bases
 
-        invK = np.asarray(grid.invKrsq)[:, k_lo:k_hi]
-        kr_b = np.asarray(grid.kr)[None, k_lo:k_hi]
-        ell = np.asarray(grid.l)[:, None]
-        Phi0, Phip, Phim = (np.asarray(b)[:, :, k_lo:k_hi]
-                            for b in ty_bases(grid))
-
-        def extract(snap):
-            blk = snap[:, :, k_lo:k_hi]
-            psit = -blk[0] * invK
-            bc = blk[1:4]
-            c0 = np.sum(bc * np.conj(Phi0), axis=0)
-            cp = np.sum(bc * np.conj(Phip), axis=0)
-            cm = np.sum(bc * np.conj(Phim), axis=0)
-            Gh = c0[None] * Phi0
-            Wh = cp[None] * Phip + cm[None] * Phim
-            return {
-                "ut": -1j * ell * psit, "vt": 1j * kr_b * psit,
-                "ug": Gh[0], "vg": Gh[1], "uw": Wh[0], "vw": Wh[1],
-            }
-
-        complex_rows = {
-            "U_balanced": lambda s: (s["ut"] + s["ug"]) + 1j * (s["vt"] + s["vg"]),
-            "U_wave": lambda s: s["uw"] + 1j * s["vw"],
-            "U_total": lambda s: (s["ut"] + s["ug"] + s["uw"])
-            + 1j * (s["vt"] + s["vg"] + s["vw"]),
-        }
+        n_vars = 6
     elif args.decompose:
         f0 = float(reader.read("params/f"))
         Cg2 = float(reader.read("params/Cg2"))
         params = RSWParams(nu=0.0, nnu=4, f=f0, Cg2=Cg2)
         Cg = float(np.sqrt(Cg2))
-        bases = [np.asarray(b)[:, :, k_lo:k_hi]
-                 for b in balanced_wave_bases(grid, params)]
-
-        def extract(snap):
-            # eigen-coefficient rows c0/c+/c- for the task's k block
-            # (FourierRSW.jl:76-162 stores these per k_x row; projection
-            # contracts (u, v, Cg eta) against conj(Phi), RSWUtils.jl:48-54)
-            blk = snap[:, :, k_lo:k_hi]
-            state = np.stack([blk[0], blk[1], Cg * blk[2]])
-            return {name: np.sum(state * np.conj(Phi), axis=0)
-                    for name, Phi in zip(("c0", "cp", "cm"), bases)}
+        n_vars = 3
     else:
-        def extract(snap):
-            return {"sol": snap[..., k_lo:k_hi]}
+        n_vars = int(snapshot_shape(reader)[0])   # state channel count
 
-    t, series = collect_time_series(reader, extract)
-    if len(t) < 4:
+    def make_extract(lo, hi):
+        """Extract + complex-row builders for one k sub-block [lo, hi)."""
+        complex_rows = {}
+        if args.model == "ty":
+            # Thomas-Yamada rows: barotropic (ut, vt) from zeta_t, wave/geo-
+            # projected baroclinic (ug, vg, uw, vw), and complex U = u + i v
+            # whose one-sided FFT separates +/- frequency branches
+            # (thomasyamada/TY_k_omega.jl:78-107)
+            invK = np.asarray(grid.invKrsq)[:, lo:hi]
+            kr_b = np.asarray(grid.kr)[None, lo:hi]
+            ell = np.asarray(grid.l)[:, None]
+            Phi0, Phip, Phim = (np.asarray(b)[:, :, lo:hi]
+                                for b in ty_bases(grid))
+
+            def extract(snap):
+                blk = snap[:, :, lo:hi]
+                psit = -blk[0] * invK
+                bc = blk[1:4]
+                c0 = np.sum(bc * np.conj(Phi0), axis=0)
+                cp = np.sum(bc * np.conj(Phip), axis=0)
+                cm = np.sum(bc * np.conj(Phim), axis=0)
+                Gh = c0[None] * Phi0
+                Wh = cp[None] * Phip + cm[None] * Phim
+                return {
+                    "ut": -1j * ell * psit, "vt": 1j * kr_b * psit,
+                    "ug": Gh[0], "vg": Gh[1], "uw": Wh[0], "vw": Wh[1],
+                }
+
+            complex_rows = {
+                "U_balanced": lambda s: (s["ut"] + s["ug"])
+                + 1j * (s["vt"] + s["vg"]),
+                "U_wave": lambda s: s["uw"] + 1j * s["vw"],
+                "U_total": lambda s: (s["ut"] + s["ug"] + s["uw"])
+                + 1j * (s["vt"] + s["vg"] + s["vw"]),
+            }
+        elif args.decompose:
+            bases = [np.asarray(b)[:, :, lo:hi]
+                     for b in balanced_wave_bases(grid, params)]
+
+            def extract(snap):
+                # eigen-coefficient rows c0/c+/c- for the k sub-block
+                # (FourierRSW.jl:76-162 stores these per k_x row; projection
+                # contracts (u, v, Cg eta) against conj(Phi), RSWUtils.jl:48-54)
+                blk = snap[:, :, lo:hi]
+                state = np.stack([blk[0], blk[1], Cg * blk[2]])
+                return {name: np.sum(state * np.conj(Phi), axis=0)
+                        for name, Phi in zip(("c0", "cp", "cm"), bases)}
+        else:
+            def extract(snap):
+                return {"sol": snap[..., lo:hi]}
+
+        return extract, complex_rows
+
+    # Bounded-memory streaming (VERDICT r2 item 6): the task's k range is
+    # processed in sub-blocks sized so the collected (T, ny, block) series
+    # of all variables fit --mem-cap-gb; each sub-block is one extra pass
+    # over the snapshot files — the same trade the reference makes per-k
+    # (FourierRSW.jl:176-190 re-reads every file in every one of its
+    # 64-256 array tasks), but with the pass count driven by the cap.
+    T_est = count_snapshots(reader)
+    if T_est < 4:
         raise SystemExit("not enough snapshots for a time FFT")
-    w = hann(len(t))
+    bytes_per_col = T_est * grid.ny * 16 * max(n_vars, 1)
+    cap = int(args.mem_cap_gb * 2**30)
+    block = max(1, min(k_hi - k_lo, cap // max(bytes_per_col, 1)))
+    n_blocks = -(-(k_hi - k_lo) // block)
+    if n_blocks > 1:
+        print(f"mem cap {args.mem_cap_gb} GB -> {n_blocks} sub-blocks of "
+              f"<= {block} k rows ({T_est} snapshots)")
+
     os.makedirs(args.out_dir, exist_ok=True)
-    wsh = w.reshape((len(t),) + (1,) * (series[next(iter(series))].ndim - 1))
-    # window-only FFT so the +/- frequency asymmetry of the complex
-    # velocity survives (TY_k_omega.jl:105-107)
-    u_ffts = {name: np.fft.fft(wsh * fn(series), axis=0)
-              for name, fn in complex_rows.items()}
-    for ki in range(k_lo, k_hi):
-        # per-k file layout radial_data_k=%03d (FourierSWQG.jl:109-112)
-        path = os.path.join(args.out_dir, f"radial_data_k={ki:03d}.h5")
-        with h5py.File(path, "w") as out:
-            out["t"] = t
-            out["k"] = float(np.asarray(grid.kr)[ki])
-            for name, d in series.items():
-                out[name] = clean_fft(t, d[..., ki - k_lo], w)
-            for name, Uf in u_ffts.items():
-                out[name] = Uf[..., ki - k_lo]
-    print(f"wrote {k_hi - k_lo} per-k files -> {args.out_dir}")
+    nwritten = 0
+    for lo in range(k_lo, k_hi, block):
+        hi = min(lo + block, k_hi)
+        extract, complex_rows = make_extract(lo, hi)
+        t, series = collect_time_series(reader, extract)
+        if len(t) < 4:
+            raise SystemExit("not enough snapshots for a time FFT")
+        w = hann(len(t))
+        wsh = w.reshape((len(t),)
+                        + (1,) * (series[next(iter(series))].ndim - 1))
+        # window-only FFT so the +/- frequency asymmetry of the complex
+        # velocity survives (TY_k_omega.jl:105-107)
+        u_ffts = {name: np.fft.fft(wsh * fn(series), axis=0)
+                  for name, fn in complex_rows.items()}
+        for ki in range(lo, hi):
+            # per-k file layout radial_data_k=%03d (FourierSWQG.jl:109-112)
+            path = os.path.join(args.out_dir, f"radial_data_k={ki:03d}.h5")
+            with h5py.File(path, "w") as out:
+                out["t"] = t
+                out["k"] = float(np.asarray(grid.kr)[ki])
+                for name, d in series.items():
+                    out[name] = clean_fft(t, d[..., ki - lo], w)
+                for name, Uf in u_ffts.items():
+                    out[name] = Uf[..., ki - lo]
+            nwritten += 1
+    print(f"wrote {nwritten} per-k files -> {args.out_dir}")
 
 
 def cmd_analyze(args):
@@ -805,6 +883,14 @@ def main(argv=None):
                    help="store wave/geo eigen-coefficients c0/c+/c-")
     p.add_argument("--no-decompose", dest="decompose", action="store_false")
     p.add_argument("--out-dir", default="omega_k")
+    p.add_argument("--mem-cap-gb", type=float, default=8.0,
+                   help="stream the task's k range in sub-blocks sized so "
+                        "collected time series fit this many GB")
+    p.add_argument("--fanout", type=int, default=0,
+                   help="run the full analysis locally as N concurrent "
+                        "omega-k task processes (replaces --task/--ntasks; "
+                        "launcher-backed, like the reference's 64-256-task "
+                        "fourier-job.sbatch arrays)")
     p.set_defaults(fn=cmd_omega_k)
 
     p = sub.add_parser("analyze", help="offline analysis suite over run dirs")

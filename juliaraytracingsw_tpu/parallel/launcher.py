@@ -144,17 +144,21 @@ def sweep_row_from_env(rows: list[dict], env: dict | None = None) -> dict:
 
 def launch_sweep(base_cmd: list[str], rows: list[dict], out_root: str,
                  max_parallel: int = 1, env_extra: dict | None = None,
-                 dry_run: bool = False) -> list[int]:
+                 dry_run: bool = False, out_flag: str | None = "--out") -> list[int]:
     """Run one subprocess per sweep row with bounded concurrency.
 
-    Each child gets ``JRSW_SWEEP_INDEX=i``, a per-row ``--out`` directory,
-    and the row's key/values appended as ``--key value`` CLI overrides —
-    the local stand-in for a SLURM array over parameters.txt. Returns the
-    list of return codes (ordered by row)."""
+    Each child gets ``JRSW_SWEEP_INDEX=i``, a per-row ``<out_flag>``
+    directory (omitted when ``out_flag=None`` for tasks that share one
+    output dir, e.g. omega-k k-range fan-out), and the row's key/values
+    appended as ``--key value`` CLI overrides — the local stand-in for a
+    SLURM array over parameters.txt. Returns the list of return codes
+    (ordered by row)."""
     os.makedirs(out_root, exist_ok=True)
     cmds, envs = [], []
     for i, row in enumerate(rows):
-        cmd = list(base_cmd) + ["--out", os.path.join(out_root, f"run{i:03d}")]
+        cmd = list(base_cmd)
+        if out_flag is not None:
+            cmd += [out_flag, os.path.join(out_root, f"run{i:03d}")]
         for k, v in row.items():
             cmd += [f"--{k.replace('_', '-')}", str(v)]
         e = dict(os.environ, JRSW_SWEEP_INDEX=str(i), **(env_extra or {}))

@@ -31,6 +31,12 @@ Accuracy classes (same formulas as rays/interp.py):
     prefiltered, see interp.bspline_prefilter), local cubic B-spline —
     exact C2 interpolation matching the reference CPU path
     (raytracing/Raytracing.jl:152-159).
+  - 'bicubic' : 4x4 patch over the stacked [f|fx|fy|fxy] corner-data
+    layout (4*F channels, fields_from_psih(..., interp='bicubic')) with
+    per-block Hermite value/derivative weights — the reference's
+    accuracy-premium blueprint (utils/CUDAInterpolations.jl:71-108) at
+    patch-path speed. Derivative channels are stored in physical units, so
+    evaluation needs the (dx, dy) cell sizes (``deriv_scale``).
 """
 from __future__ import annotations
 
@@ -47,11 +53,13 @@ __all__ = [
 
 # interp method -> (patch height, patch width, lo offset of tap grid)
 # Window sizes cover local offsets in [-1, 2) EXACTLY (taps floor-1..floor+2
-# for the cubic, floor..floor+1 for bilinear), i.e. packets may drift a full
-# cell within one substep before the clamped polynomial extension kicks in.
+# for the cubic, floor..floor+1 for bilinear/bicubic corner pairs), i.e.
+# packets may drift a full cell within one substep before the clamped
+# polynomial extension kicks in.
 PATCH_SHAPES = {
     "bilinear": (4, 4, 1),
     "bspline": (6, 6, 2),
+    "bicubic": (4, 4, 1),
 }
 
 
@@ -121,6 +129,36 @@ def _axis_weights_bspline(local, size, lo):
     return w
 
 
+def _axis_weights_hermite(local, size, lo, scale):
+    """Hermite cubic weights over the 2 nodes of the containing cell,
+    expressed over the full patch axis: returns ``(wv, wd)`` where ``wv``
+    carries the value-basis (h00, h01) and ``wd`` the derivative-basis
+    (h10, h11) scaled by the physical cell size (stored derivative channels
+    are in physical units, interp.bicubic_hermite convention)."""
+    j0 = jnp.clip(jnp.floor(local), -lo, size - lo - 2)
+    a = local - j0
+    a2, a3 = a * a, a * a * a
+    h00, h01 = 1.0 - 3.0 * a2 + 2.0 * a3, 3.0 * a2 - 2.0 * a3
+    h10, h11 = (a - 2.0 * a2 + a3) * scale, (a3 - a2) * scale
+    t = (j0 + lo)[:, None].astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (local.shape[0], size), 1)
+    wv = (jnp.where(iota == t, h00[:, None], 0.0)
+          + jnp.where(iota == t + 1, h01[:, None], 0.0))
+    wd = (jnp.where(iota == t, h10[:, None], 0.0)
+          + jnp.where(iota == t + 1, h11[:, None], 0.0))
+    return wv, wd
+
+
+def _hermite_block_weights(local_x, local_y, deriv_scale):
+    """The 4 separable (wy, wx) weight pairs for the [f, fx, fy, fxy]
+    channel blocks of the bicubic corner-data layout."""
+    ph, pw, lo = PATCH_SHAPES["bicubic"]
+    sx, sy = deriv_scale
+    wxv, wxd = _axis_weights_hermite(local_x, pw, lo, sx)
+    wyv, wyd = _axis_weights_hermite(local_y, ph, lo, sy)
+    return ((wyv, wxv), (wyv, wxd), (wyd, wxv), (wyd, wxd))
+
+
 def _weight_matrix(local_x, local_y, method: str):
     """(N, ph*pw) separable tap-weight matrix w2[n, jy*pw+jx]."""
     ph, pw, lo = PATCH_SHAPES[method]
@@ -136,25 +174,30 @@ def _weight_matrix(local_x, local_y, method: str):
                                                      ph * pw)
 
 
-def _selector(ph: int, pw: int, F: int, dtype):
-    """(F*ph*pw, F) 0/1 matrix summing each field's tap block."""
+def _selector(ph: int, pw: int, F: int, dtype, nblocks: int = 1):
+    """(F*ph*pw, F//nblocks) 0/1 matrix summing each field's tap block.
+
+    With ``nblocks>1`` (bicubic corner-data layout) channel c = b*Fb + j of
+    block b contributes to output field j, folding the [f|fx|fy|fxy] block
+    sum into the same matmul as the tap reduction."""
     import numpy as np
 
     pp = ph * pw
-    M = np.zeros((F * pp, F), np.float32)
-    for f in range(F):
-        M[f * pp:(f + 1) * pp, f] = 1.0
+    Fb = F // nblocks
+    M = np.zeros((F * pp, Fb), np.float32)
+    for c in range(F):
+        M[c * pp:(c + 1) * pp, c % Fb] = 1.0
     return jnp.asarray(M, dtype)
 
 
-@partial(jax.jit, static_argnames=("method",))
+@partial(jax.jit, static_argnames=("method", "deriv_scale"))
 def patch_interpolate_pair(rows_pair, local_x, local_y, a,
-                           method: str = "bilinear"):
+                           method: str = "bilinear", deriv_scale=(1.0, 1.0)):
     """Time-blended evaluation of all F fields from gathered PAIR rows.
 
     rows_pair : (N, 2*F*ph*pw) rows from a make_pair_table gather
     a         : scalar blend (0 -> old snapshot, 1 -> new)
-    returns   : (F, N)
+    returns   : (F, N)  (F//4 rows for the bicubic corner-data layout)
 
     MXU formulation: one full-width elementwise multiply by the tiled
     separable weights, then a (N, 2W) x (2W, F) matmul whose selector
@@ -167,26 +210,51 @@ def patch_interpolate_pair(rows_pair, local_x, local_y, a,
     N, W2 = rows_pair.shape
     F = W2 // (2 * pp)
     W = F * pp
-    w2 = _weight_matrix(local_x, local_y, method)          # (N, pp)
-    w_t = jnp.broadcast_to(w2[:, None, :], (N, F, pp)).reshape(N, W)
+    if method == "bicubic":
+        Fb = F // 4
+        blocks = _hermite_block_weights(local_x, local_y, deriv_scale)
+        w4 = jnp.stack(
+            [(wy[:, :, None] * wx[:, None, :]).reshape(N, pp)
+             for wy, wx in blocks], axis=1)                # (N, 4, pp)
+        w_t = jnp.broadcast_to(w4[:, :, None, :],
+                               (N, 4, Fb, pp)).reshape(N, W)
+        M = _selector(ph, pw, F, rows_pair.dtype, nblocks=4)   # (W, Fb)
+    else:
+        w2 = _weight_matrix(local_x, local_y, method)          # (N, pp)
+        w_t = jnp.broadcast_to(w2[:, None, :], (N, F, pp)).reshape(N, W)
+        M = _selector(ph, pw, F, rows_pair.dtype)              # (W, F)
     w_t2 = jnp.concatenate([w_t, w_t], axis=1)             # (N, 2W)
-    M = _selector(ph, pw, F, rows_pair.dtype)              # (W, F)
     Mb = jnp.concatenate([(1.0 - a) * M, a * M], axis=0)   # (2W, F)
     return ((rows_pair * w_t2) @ Mb).T                     # (F, N)
 
 
-@partial(jax.jit, static_argnames=("method",))
-def patch_interpolate(patches, local_x, local_y, method: str = "bilinear"):
+@partial(jax.jit, static_argnames=("method", "deriv_scale"))
+def patch_interpolate(patches, local_x, local_y, method: str = "bilinear",
+                      deriv_scale=(1.0, 1.0)):
     """Evaluate all F fields from packed patches at local offsets.
 
     patches  : (N, F*ph*pw) rows gathered from build_patch_table
     local_x/y: (N,) continuous offsets from each packet's patch base cell
     returns  : (F, N)
+
+    ``method='bicubic'`` treats the channel axis as 4 blocks [f|fx|fy|fxy]
+    of F//4 base fields each and needs ``deriv_scale=(dx, dy)`` to convert
+    the physical-unit derivative channels to cell units.
     """
     ph, pw, lo = PATCH_SHAPES[method]
     N = patches.shape[0]
     F = patches.shape[1] // (ph * pw)
     P = patches.reshape(N, F, ph, pw)
+    if method == "bicubic":
+        Fb = F // 4
+        Pb = P.reshape(N, 4, Fb, ph, pw)
+        out = None
+        for b, (wy, wx) in enumerate(
+                _hermite_block_weights(local_x, local_y, deriv_scale)):
+            v = jnp.sum(Pb[:, b] * wx[:, None, None, :], axis=3)
+            v = jnp.sum(v * wy[:, None, :], axis=2)
+            out = v if out is None else out + v
+        return out.T                                # (Fb, N)
     if method == "bilinear":
         wx = _axis_weights_bilinear(local_x, pw, lo)
         wy = _axis_weights_bilinear(local_y, ph, lo)

@@ -79,10 +79,13 @@ class RayParams(NamedTuple):
     # TPU scattered gathers are index-count-bound with ~128 *32-bit words*
     # of row width riding free; bfloat16 packs two values per word, halving
     # the per-row gather units (bilinear pair 160->80 words, bspline pair
-    # 360->180). Stage math always upcasts to f32 after the gather, so only
-    # the stored field values are rounded — comparable to the reference's
-    # CUDA texture path, whose hardware bilinear weights are 9-bit fixed
-    # point (raytracing/GPURaytracing.jl:118-127 texture binds). Default
+    # 360->180). Stage math always upcasts to f32 after the gather, so the
+    # only error is ~2^-8 relative rounding of the *stored field values*
+    # (the reference's CUDA texture path instead stores f32 fields and
+    # quantises the bilinear *weights* to 9-bit fixed point — a different
+    # error model; raytracing/GPURaytracing.jl:118-127). Trajectory
+    # divergence under bf16 tables is bounded by
+    # tests/test_rays.py::test_bf16_table_trajectory_divergence. Default
     # keeps full f32 accuracy.
     table_dtype: str = "float32"
 
@@ -192,13 +195,15 @@ def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
     )
     rows = jnp.take(T_pair, cell, axis=0).astype(jnp.float32)
     method = rp.interp
+    ds = (rp.dx, rp.dy)   # derivative-channel scale (bicubic only)
 
     if _patch_impl() == "mxu":
         # single-pass MXU form: tap reduction + time blend in one matmul
         def sample(qx, qy, a):
             lx = (qx - rp.x0) / rp.dx - bx
             ly = (qy - rp.y0) / rp.dy - by
-            return patch_interpolate_pair(rows, lx, ly, a, method=method)
+            return patch_interpolate_pair(rows, lx, ly, a, method=method,
+                                          deriv_scale=ds)
 
         return sample
 
@@ -208,8 +213,8 @@ def _make_patch_sampler(T_pair, p: Packets, rp: RayParams,
     def sample(qx, qy, a):
         lx = (qx - rp.x0) / rp.dx - bx
         ly = (qy - rp.y0) / rp.dy - by
-        vo = patch_interpolate(rows_old, lx, ly, method=method)
-        vn = patch_interpolate(rows_new, lx, ly, method=method)
+        vo = patch_interpolate(rows_old, lx, ly, method=method, deriv_scale=ds)
+        vn = patch_interpolate(rows_new, lx, ly, method=method, deriv_scale=ds)
         return (1.0 - a) * vo + a * vn
 
     return sample
@@ -246,6 +251,46 @@ _DP_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
 # embedded 4th-order weights of the Dormand-Prince pair (error estimator)
 _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
           187 / 2100, 1 / 40)
+
+# Fehlberg 7(8) tableau — the Vern7-accuracy-class adaptive option
+# (reference production GPU path solves with adaptive Vern7,
+# raytracing/GPURaytracing.jl:111-113; Verner's coefficients are long
+# decimals, Fehlberg's classical 13-stage 7(8) pair is exactly rational and
+# the same order class). 7th-order solution propagated, 8th-order for the
+# error estimate; order pinned by tests/test_adaptive_rays.py convergence.
+_F78_C = (0.0, 2 / 27, 1 / 9, 1 / 6, 5 / 12, 1 / 2, 5 / 6, 1 / 6, 2 / 3,
+          1 / 3, 1.0, 0.0, 1.0)
+_F78_A = (
+    (),
+    (2 / 27,),
+    (1 / 36, 1 / 12),
+    (1 / 24, 0.0, 1 / 8),
+    (5 / 12, 0.0, -25 / 16, 25 / 16),
+    (1 / 20, 0.0, 0.0, 1 / 4, 1 / 5),
+    (-25 / 108, 0.0, 0.0, 125 / 108, -65 / 27, 125 / 54),
+    (31 / 300, 0.0, 0.0, 0.0, 61 / 225, -2 / 9, 13 / 900),
+    (2.0, 0.0, 0.0, -53 / 6, 704 / 45, -107 / 9, 67 / 90, 3.0),
+    (-91 / 108, 0.0, 0.0, 23 / 108, -976 / 135, 311 / 54, -19 / 60, 17 / 6,
+     -1 / 12),
+    (2383 / 4100, 0.0, 0.0, -341 / 164, 4496 / 1025, -301 / 82, 2133 / 4100,
+     45 / 82, 45 / 164, 18 / 41),
+    (3 / 205, 0.0, 0.0, 0.0, 0.0, -6 / 41, -3 / 205, -3 / 41, 3 / 41, 6 / 41,
+     0.0),
+    (-1777 / 4100, 0.0, 0.0, -341 / 164, 4496 / 1025, -289 / 82, 2193 / 4100,
+     51 / 82, 33 / 164, 12 / 41, 0.0, 1.0),
+)
+_F78_B7 = (41 / 840, 0.0, 0.0, 0.0, 0.0, 34 / 105, 9 / 35, 9 / 35, 9 / 280,
+           9 / 280, 41 / 840, 0.0, 0.0)
+_F78_B8 = (0.0, 0.0, 0.0, 0.0, 0.0, 34 / 105, 9 / 35, 9 / 35, 9 / 280,
+           9 / 280, 0.0, 41 / 840, 41 / 840)
+
+# name -> (C, A, propagated weights, error weights bh-bl, 1/(order+1) exp)
+_EMBEDDED_PAIRS = {
+    "dopri5": (_DP_C, _DP_A, _DP_B,
+               tuple(b - b4 for b, b4 in zip(_DP_B, _DP_B4)), 0.2),
+    "rkf78": (_F78_C, _F78_A, _F78_B7,
+              tuple(b8 - b7 for b7, b8 in zip(_F78_B7, _F78_B8)), 0.125),
+}
 
 
 def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
@@ -304,7 +349,11 @@ def _fused_impl(rp: RayParams, method: str) -> str | None:
     import os
 
     mode = os.environ.get("JRSW_FUSED", "off")
-    if mode == "off" or method != "rk4" or rp.interp not in PATCH_SHAPES:
+    # the fused kernel implements the bilinear/bspline separable-weight
+    # stage math only; bicubic's per-block Hermite weights stay on the
+    # jnp sampler path
+    if (mode == "off" or method != "rk4"
+            or rp.interp not in ("bilinear", "bspline")):
         return None
     return mode  # 'auto' resolves inside make_fused_substep
 
@@ -415,7 +464,7 @@ def _select_channels(fields, sel, interp):
     return fields[jnp.asarray(sel)]
 
 
-@partial(jax.jit, static_argnames=("rp", "max_steps"))
+@partial(jax.jit, static_argnames=("rp", "max_steps", "pair"))
 def raytrace_adaptive(
     packets: Packets,
     fields_old,
@@ -427,8 +476,11 @@ def raytrace_adaptive(
     atol: float = 1e-7,
     max_steps: int = 64,
     init_substeps: int = 4,
+    pair: str = "dopri5",
 ):
-    """Adaptive embedded Dormand-Prince 5(4) ray integration.
+    """Adaptive embedded ray integration: Dormand-Prince 5(4) (default) or
+    Fehlberg 7(8) (``pair='rkf78'``, 13 stages — the accuracy class of the
+    reference's production adaptive Vern7 path).
 
     Parity mode for the reference's production GPU path — adaptive Vern7
     over the whole packet batch with one shared step size
@@ -436,7 +488,7 @@ def raytrace_adaptive(
     ODEProblem adaptively). Shape-static for XLA: a ``lax.scan`` over
     ``max_steps`` attempt slots; rejected attempts shrink h and retry,
     finished batches no-op. Error control is the standard Hairer mixed
-    norm with a PI-less step factor 0.9 (tol/err)^(1/5) clipped to
+    norm with a PI-less step factor 0.9 (tol/err)^(1/(q+1)) clipped to
     [0.2, 5].
 
     Returns ``(packets, info)`` where info = dict(t_reached, h_final,
@@ -449,9 +501,10 @@ def raytrace_adaptive(
     if use_patch:
         T_pair = make_pair_table(build_patch_table(fields_old, rp.interp),
                                  build_patch_table(fields_new, rp.interp), rp.table_dtype)
+    C, A, BH, BE, exponent = _EMBEDDED_PAIRS[pair]
 
     def attempt(p, t, h):
-        """One DP5(4) attempt from (p, t) with size h -> (p5, err_norm)."""
+        """One embedded-pair attempt from (p, t) with size h -> (p_hi, err)."""
         a0 = (t - t0) / span
         dah = h / span
         if use_patch:
@@ -459,18 +512,20 @@ def raytrace_adaptive(
         else:
             sample = _make_taps_sampler(fields_old, fields_new, rp)
         ks = []
-        for ci, ai in zip(_DP_C, _DP_A):
+        for ci, ai in zip(C, A):
             q = _lincomb(p, ks, ai, h) if ai else p
             ks.append(_rhs(q, sample, a0 + ci * dah, rp))
-        p5 = _lincomb(p, ks, _DP_B, h)
-        p4 = _lincomb(p, ks, _DP_B4, h)
+        p5 = _lincomb(p, ks, BH, h)
+        # error = h * sum (b_hi - b_lo)_i k_i, componentwise
+        zero = Packets(*(jnp.zeros_like(p.x),) * 4, p.sign)
+        pe = _lincomb(zero, ks, BE, h)
 
-        def comp_err(y5, y4, y):
+        def comp_err(e, y5, y):
             sc = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
-            return ((y5 - y4) / sc) ** 2
+            return (e / sc) ** 2
 
-        e = (comp_err(p5.x, p4.x, p.x) + comp_err(p5.y, p4.y, p.y)
-             + comp_err(p5.k, p4.k, p.k) + comp_err(p5.l, p4.l, p.l))
+        e = (comp_err(pe.x, p5.x, p.x) + comp_err(pe.y, p5.y, p.y)
+             + comp_err(pe.k, p5.k, p.k) + comp_err(pe.l, p5.l, p.l))
         err = jnp.sqrt(jnp.mean(e) / 4.0)
         return p5, err
 
@@ -487,7 +542,8 @@ def raytrace_adaptive(
             lambda a, b: jnp.where(accept, a, b), p5, p
         )
         t_next = jnp.where(accept, t + h_eff, t)
-        fac = jnp.clip(0.9 * (jnp.maximum(err, 1e-10)) ** (-0.2), 0.2, 5.0)
+        fac = jnp.clip(0.9 * (jnp.maximum(err, 1e-10)) ** (-exponent),
+                       0.2, 5.0)
         h_next = jnp.where(done, h, jnp.maximum(h_eff * fac, eps))
         return (p_next, t_next, h_next,
                 nacc + accept.astype(jnp.int32),

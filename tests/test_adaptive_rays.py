@@ -87,6 +87,115 @@ class TestAdaptive:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestRKF78:
+    def test_tableau_is_order_7(self):
+        """Fixed-step integration of a smooth nonlinear scalar ODE with the
+        Fehlberg 7(8) propagated weights self-converges at order >= 7
+        (float64 numpy — interpolated ray fields are only C2, so the
+        tableau is validated on an analytic RHS)."""
+        from juliaraytracingsw_tpu.rays.raytrace import _EMBEDDED_PAIRS
+
+        C, A, BH, BE, _ = _EMBEDDED_PAIRS["rkf78"]
+
+        def rhs(t, y):
+            return y * np.cos(t)          # y(t) = exp(sin t)
+
+        def integrate(n):
+            y, t, h = 1.0, 0.0, 2.0 / n
+            for _ in range(n):
+                ks = []
+                for ci, ai in zip(C, A):
+                    q = y + h * sum(a * k for a, k in zip(ai, ks))
+                    ks.append(rhs(t + ci * h, q))
+                y += h * sum(b * k for b, k in zip(BH, ks))
+                t += h
+            return y
+
+        # three-point self-convergence cancels reference-solution error;
+        # coarse steps keep the error well above f64 roundoff (the local
+        # error of this pair at h=0.25 is already ~1e-12)
+        y1, y2, y4 = integrate(2), integrate(4), integrate(8)
+        order = np.log2(abs(y1 - y2) / abs(y2 - y4))
+        assert order > 6.5, order
+        # and it is actually accurate
+        np.testing.assert_allclose(y4, np.exp(np.sin(2.0)), rtol=1e-9)
+
+    def test_smooth_rhs_matched_accuracy_fewer_steps(self):
+        """On a SMOOTH analytic RHS the 7(8) pair achieves the same accuracy
+        as DP5(4) at matched rtol with several-fold fewer accepted steps —
+        the measured step-count study of VERDICT r2 item 8 (full sweep:
+        benchmarks/adaptive_order_study.py). Run in f64 numpy: the point is
+        the tableau/controller, not the interpolation."""
+        from scipy.integrate import solve_ivp
+
+        from juliaraytracingsw_tpu.rays.raytrace import _EMBEDDED_PAIRS
+
+        U0, q, k0 = 0.6, 3.0, 5.0
+
+        def rhs(t, z):
+            x, y, l = z
+            W = np.sqrt(F * F + CG * CG * (k0 * k0 + l * l))
+            return np.array([U0 * np.sin(q * y) + CG * CG * k0 / W,
+                             CG * CG * l / W,
+                             -U0 * q * np.cos(q * y) * k0])
+
+        zT = solve_ivp(rhs, (0, 2.0), [0.5, 0.3, 1.0], rtol=1e-13,
+                       atol=1e-14).y[:, -1]
+
+        def run(pair, rtol):
+            C, A, BH, BE, ex = _EMBEDDED_PAIRS[pair]
+            t, z, h = 0.0, np.array([0.5, 0.3, 1.0]), 0.5
+            nacc = nrej = 0
+            while t < 2.0 - 1e-12 and nacc + nrej < 10000:
+                he = min(h, 2.0 - t)
+                ks = []
+                for ci, ai in zip(C, A):
+                    zq = z + he * sum(a * k for a, k in zip(ai, ks))
+                    ks.append(rhs(t + ci * he, zq))
+                z5 = z + he * sum(b * k for b, k in zip(BH, ks))
+                e = he * sum(b * k for b, k in zip(BE, ks))
+                sc = rtol * 1e-2 + rtol * np.maximum(np.abs(z), np.abs(z5))
+                err = np.sqrt(np.mean((e / sc) ** 2))
+                if err <= 1:
+                    z, t, nacc = z5, t + he, nacc + 1
+                else:
+                    nrej += 1
+                h = he * min(5, max(0.2, 0.9 * max(err, 1e-10) ** (-ex)))
+            return nacc, np.abs(z - zT).max()
+
+        n5, e5 = run("dopri5", 1e-8)
+        n7, e7 = run("rkf78", 1e-8)
+        assert n7 < n5 / 2, (n7, n5)
+        assert e7 < 1e-6 and e5 < 1e-6, (e7, e5)
+
+    def test_adaptive7_through_interpolated_fields(self):
+        """Through C2 B-spline fields the 7(8) estimator cannot see the
+        interpolant's third-derivative jumps, so it accepts far fewer steps
+        at the same rtol and its real error floors near the interpolation-
+        smoothness limit (measured ~1e-3, benchmarks/adaptive_order_study.py)
+        — the measured basis for keeping DP5(4) as the production default.
+        The reference's own Vern7-through-bilinear-textures combo has the
+        same property more severely (C0 fields)."""
+        g = make_grid(128)
+        fields = fields_from_psih(shear_psih(g, U0=0.6), g, "bspline")
+        rp = _rp(g)
+        p0 = Packets(x=jnp.asarray([0.5]), y=jnp.asarray([0.3]),
+                     k=jnp.asarray([5.0]), l=jnp.asarray([1.0]),
+                     sign=jnp.asarray([1.0]))
+        T = 2.0
+        ref = raytrace(p0, fields, fields, 0.0, T, rp, nsubsteps=4000)
+        out5, info5 = raytrace_adaptive(p0, fields, fields, 0.0, T, rp,
+                                        rtol=1e-7, atol=1e-9, max_steps=512)
+        out7, info7 = raytrace_adaptive(p0, fields, fields, 0.0, T, rp,
+                                        rtol=1e-7, atol=1e-9, max_steps=512,
+                                        pair="rkf78")
+        assert float(info7["t_reached"]) >= T - 1e-6
+        assert int(info7["n_accepted"]) < int(info5["n_accepted"])
+        for a, b in zip(out7[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-2)
+
+
 class TestShearFlowOracle:
     """Steady shear u = U0 sin(q y): ux = vx = 0 exactly, so dk/dt = 0 and
     (y, l) obey the closed 2-variable system dy/dt = s Cg^2 l / W,

@@ -53,3 +53,34 @@ def test_thomasyamada_two_phase_cli(tmp_path):
     with h5py.File(tmp_path / "diagnostics.h5", "r") as f:
         assert np.isfinite(f["wave_ke"][()]).all()
         assert np.isfinite(f["geo_ke"][()]).all()
+
+
+def test_omega_k_mem_cap_blocking_and_fanout(tmp_path):
+    """Streamed omega-k (VERDICT r2 item 6): a tiny --mem-cap-gb forces
+    multiple k sub-blocks whose per-k outputs are identical to the
+    unblocked run, and --fanout runs the full k range as concurrent
+    launcher-backed task processes."""
+    run = tmp_path / "run"
+    run.mkdir()
+    main(["rsw", "--ag", "0.2", "--aw", "0.02", "--nx", "16",
+          "--spinup-T", "0.0", "--T", "0.08", "--output-dt", "0.01",
+          "--out-dir", str(run), "--sqrt-npackets", "2"])
+
+    out_a = tmp_path / "oka"
+    out_b = tmp_path / "okb"
+    main(["omega-k", str(run), "--out-dir", str(out_a)])
+    # ~5e-7 GB cap => a few k rows per sub-block at 16^2
+    main(["omega-k", str(run), "--out-dir", str(out_b),
+          "--mem-cap-gb", "5e-7"])
+    files = sorted(os.listdir(out_a))
+    assert files == sorted(os.listdir(out_b)) and len(files) == 9
+    for name in files:
+        with h5py.File(out_a / name, "r") as fa, \
+                h5py.File(out_b / name, "r") as fb:
+            for key in fa:
+                np.testing.assert_array_equal(fa[key][()], fb[key][()])
+
+    out_c = tmp_path / "okc"
+    main(["omega-k", str(run), "--out-dir", str(out_c), "--fanout", "2"])
+    got = sorted(p for p in os.listdir(out_c) if p.startswith("radial"))
+    assert got == files

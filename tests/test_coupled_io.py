@@ -189,6 +189,26 @@ class TestBirthDeathProduction:
         assert int(drv2.sim.bd.births) == ref_births
         np.testing.assert_array_equal(np.asarray(drv2.sim.bd.key), ref_key)
 
+    def test_restore_rejects_mismatched_structure(self, tmp_path, rng):
+        """Loading a checkpoint written with a structurally different state
+        (birth/death ON) into a driver without it must raise, not restore
+        silently wrong (treedef verified on load, VERDICT r2 weak item 7)."""
+        g = make_grid(32)
+        sol0 = band_geo_wave_ic(g, rng, Kg=(4, 6), Kw=(0, 3), ag=0.3,
+                                aw=0.05, f=3.0, Cg=1.0)
+        pk = lattice_packets(4, g.Lx, g.Ly, k0=5.0, k_ring=True)
+        drv = make_rsw_driver(tmp_path, g, with_outputs=False,
+                              birth_death=True, bd_lam=0.05)
+        drv.init(sol0, pk)
+        drv.run(n_frames=1, flow_steps_per_frame=2)
+        ckpt = str(tmp_path / "bd_only.npz")
+        drv.checkpoint(ckpt)
+
+        drv2 = make_rsw_driver(tmp_path, g, with_outputs=False)
+        drv2.init(sol0, pk)
+        with pytest.raises(ValueError, match="structure|leaves"):
+            drv2.restore(ckpt)
+
 
 class TestICs:
     def test_band_geo_wave_amplitudes(self, rng):
