@@ -251,6 +251,11 @@ class CoupledDriver:
     diag_every_frames: int = 1
     log_every_frames: int = 1
     log_fn: Callable = print
+    # live dashboard (utils/live.LiveDashboard or None) — headless stand-in
+    # for the reference's in-window Makie Observables figures
+    # (TwoLayerSimulation.jl:44-70); refreshed after each frame's
+    # diagnostics are recorded
+    live: object | None = None
 
     def __post_init__(self):
         self._init_fn, self._step_fn = build_stepper(
@@ -337,6 +342,9 @@ class CoupledDriver:
             self._check_nan(f"frame {i}")
             self._record_diagnostics(i)
             self._write_packet_frame()
+            if self.live is not None:
+                self.live.update(self.sim, self.model.grid,
+                                 self.diag_times, self.diag_series)
             if self.snapshot_writer is not None and i % snapshot_every == 0:
                 step = int(self.sim.clock.step)
                 from ..core.transfer import to_host

@@ -65,6 +65,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="write a resumable checkpoint here at the end")
     p.add_argument("--restore", default=None,
                    help="resume from a checkpoint file")
+    p.add_argument("--live", type=int, default=0, metavar="N",
+                   help="refresh a live dashboard (<out-dir>/live.html) "
+                        "every N frames (headless stand-in for the "
+                        "reference's Makie Observables window, "
+                        "TwoLayerSimulation.jl:44-70)")
 
 
 def _add_packets(p: argparse.ArgumentParser):
@@ -73,9 +78,13 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--k-ring", action="store_true", default=True)
     p.add_argument("--ray-substeps", type=int, default=1)
     p.add_argument("--ray-method", default="rk4",
-                   choices=["rk4", "dopri5", "midpoint", "adaptive"],
+                   choices=["rk4", "dopri5", "midpoint", "adaptive",
+                            "adaptive7"],
                    help="'adaptive' = embedded Dormand-Prince 5(4) with "
-                        "error control (GPURaytracing.jl Vern7 parity)")
+                        "error control (GPURaytracing.jl Vern7 parity); "
+                        "'adaptive7' = Fehlberg 7(8), the Vern7 order class "
+                        "(see benchmarks/adaptive_order_study.py before "
+                        "using it through interpolated fields)")
     p.add_argument("--ray-rtol", type=float, default=1e-5)
     p.add_argument("--ray-atol", type=float, default=1e-7)
     p.add_argument("--ray-max-steps", type=int, default=32)
@@ -135,7 +144,7 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
         ray_substeps=args.ray_substeps, ray_method=args.ray_method,
         ray_opts=dict(rtol=args.ray_rtol, atol=args.ray_atol,
                       max_steps=args.ray_max_steps)
-        if args.ray_method == "adaptive" else None,
+        if args.ray_method in ("adaptive", "adaptive7") else None,
         k_cutoff=100.0 * f / Cg,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
         frozen_flow=args.frozen_flow,
@@ -144,6 +153,11 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
         snapshot_writer=snap_w, packet_writer=pkt_w,
         diagnostics=diagnostics,
     )
+    if getattr(args, "live", 0):
+        from ..utils.live import LiveDashboard
+
+        drv.live = LiveDashboard(args.out_dir, title=default_base,
+                                 every=args.live)
     drv.init(sol0, packets)
     if args.restore:
         drv.restore(args.restore)
@@ -266,13 +280,33 @@ def cmd_twolayer(args):
     grid, dt, nu, rng = _setup(args)
     args.dt = dt
     f, Cg = args.f, args.cg
-    model = twolayerqg.make_model(grid, U=args.U, mu=args.mu, nu=nu,
+    U, mu = args.U, args.mu
+    psih0 = None
+    if args.ic_file:
+        # production chain parity: TwoLayerSimulation writes the IC file,
+        # TwoLayerRaytracing consumes psih + params + dt from it
+        # (raytracing/TwoLayerRaytracing.jl:162-182)
+        from ..io.jld2 import load_twolayer_ic
+
+        psih_np, t0, params, dt_file = load_twolayer_ic(args.ic_file)
+        Uf = np.asarray(params.get("U", U))
+        U = float(np.max(np.abs(Uf))) if Uf.ndim else float(Uf)
+        mu = float(params.get("μ", mu))
+        print(f"IC file {args.ic_file}: t={t0:.3f} U={U} mu={mu} "
+              f"dt_file={dt_file}")
+        psih0 = jnp.asarray(psih_np)
+        if psih0.shape != (2, grid.ny, grid.nkr):
+            raise SystemExit(
+                f"IC psih shape {psih0.shape} does not match grid "
+                f"(2, {grid.ny}, {grid.nkr}) — pass the matching --nx")
+    model = twolayerqg.make_model(grid, U=U, mu=mu, nu=nu,
                                   nnu=args.nnu, f0=f, Cg=Cg,
                                   drho_rho0=args.drho_rho0)
-    psih0 = jnp.stack([
-        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
-        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
-    ])
+    if psih0 is None:
+        psih0 = jnp.stack([
+            random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+            random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag),
+        ])
     sol0 = twolayerqg.pv_from_streamfunction(psih0, grid, model.params)
 
     sgn = -1.0 if args.baroclinic else 1.0
@@ -427,17 +461,24 @@ def cmd_twolayer_simulation(args):
               f"{float(ke[1]):.4g})", flush=True)
     psih = twolayerqg.streamfunction_from_pv(sol, grid, model.params)
     os.makedirs(args.out_dir, exist_ok=True)
-    # initial_condition_%dx%d_U=%.2f naming (TwoLayerSimulation.jl:137-143)
+    # initial_condition_%dx%d_U=%.2f naming (TwoLayerSimulation.jl:137-143),
+    # written in the reference consumption layout (snapshots/ψh + params
+    # struct + clock/dt, TwoLayerRaytracing.jl:162-182) so
+    # `twolayer --ic-file` closes the production chain; the convenience
+    # ic/qh group is appended for direct PV restarts.
+    from ..io.jld2_fixture import write_twolayer_ic
+
     path = os.path.join(
         args.out_dir,
         f"initial_condition_{grid.nx}x{grid.ny}_U={args.U:.2f}.h5",
     )
-    with h5py.File(path, "w") as f:
-        f["ic/psih"] = to_host(psih)
+    write_twolayer_ic(path, to_host(psih), dt=dt, t=float(clock.t),
+                      step=int(clock.step), f0=args.f,
+                      U=(args.U, -args.U), mu=args.mu)
+    with h5py.File(path, "a") as f:
         f["ic/qh"] = to_host(sol)
-        for name, val in (("U", args.U), ("mu", args.mu), ("f0", args.f),
-                          ("Cg", args.cg), ("nx", grid.nx), ("Lx", grid.Lx)):
-            f[f"params/{name}"] = val
+        for name, val in (("Cg", args.cg), ("nx", grid.nx), ("Lx", grid.Lx)):
+            f[f"params_extra/{name}"] = val
     print(f"wrote {path}")
 
 
@@ -786,6 +827,9 @@ def main(argv=None):
     p.add_argument("--ag", type=float, default=0.01)
     p.add_argument("--baroclinic", action="store_true",
                    help="advect packets with the baroclinic streamfunction")
+    p.add_argument("--ic-file", default=None,
+                   help="two-layer IC file (snapshots/ψh + params + "
+                        "clock/dt layout, TwoLayerRaytracing.jl:162-182)")
     p.set_defaults(fn=cmd_twolayer)
 
     p = sub.add_parser("thomasyamada",

@@ -75,6 +75,15 @@ class RayParams(NamedTuple):
     dy: float
     interp: str = "bilinear"   # 'bilinear' | 'bspline' | 'bicubic'
     gather: str = "patch"      # 'patch' (fast) | 'taps' (oracle)
+    # implicit-midpoint convergence control (ray_method='midpoint'): the
+    # fixed-point solve iterates until the residual drops below
+    # atol + rtol*|z| (mixed norm) or maxit — a true converged implicit
+    # solve like the reference's ImplicitMidpoint (Raytracing.jl:106-118),
+    # not a fixed iteration count. Differentiable via lax.custom_root
+    # (implicit function theorem), so convergence control costs nothing in
+    # the backward pass.
+    midpoint_rtol: float = 1e-6
+    midpoint_maxit: int = 20
     # Storage dtype of the gathered pair table ('float32' | 'bfloat16').
     # TPU scattered gathers are index-count-bound with ~128 *32-bit words*
     # of row width riding free; bfloat16 packs two values per word, halving
@@ -309,14 +318,59 @@ def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
             ks.append(_rhs(q, sample, a0 + ci * da, rp))
         return _lincomb(p, ks, _DP_B, h)
     if method == "midpoint":
-        # implicit midpoint via fixed-point iteration (symplectic; the
-        # reference CPU path uses ImplicitMidpoint, raytracing/Raytracing.jl:109)
+        # implicit midpoint (symplectic; the reference CPU path solves a
+        # true implicit system, raytracing/Raytracing.jl:106-118). Solved
+        # as a CONVERGED fixed point on the midpoint slope z = G(z) with a
+        # residual-controlled while_loop, wrapped in lax.custom_root so the
+        # backward pass uses implicit differentiation (a Neumann-series
+        # tangent solve) instead of unrolling iterations.
         am = a0 + 0.5 * da
-        d = _rhs(p, sample, am, rp)
-        for _ in range(4):
-            mid = _axpy(p, d, 0.5 * h)
+        rtol = rp.midpoint_rtol
+        maxit = rp.midpoint_maxit
+
+        def G(z):
+            mid = Packets(p.x + 0.5 * h * z[0], p.y + 0.5 * h * z[1],
+                          p.k + 0.5 * h * z[2], p.l + 0.5 * h * z[3], p.sign)
             d = _rhs(mid, sample, am, rp)
-        return _axpy(p, d, h)
+            return (d.x, d.y, d.k, d.l)
+
+        def f_root(z):
+            gz = G(z)
+            return tuple(a - b for a, b in zip(z, gz))
+
+        def _resid(fz, z):
+            r = 0.0
+            for e, zi in zip(fz, z):
+                sc = 1e-8 + rtol * jnp.abs(zi)
+                r = jnp.maximum(r, jnp.max(jnp.abs(e) / sc))
+            return r
+
+        def solve(f_, z0):
+            def cond(c):
+                z, i = c
+                return jnp.logical_and(_resid(f_(z), z) > 1.0, i < maxit)
+
+            def body(c):
+                z, i = c
+                return tuple(a - b for a, b in zip(z, f_(z))), i + 1
+
+            z, _ = jax.lax.while_loop(cond, body, (z0, jnp.int32(0)))
+            return z
+
+        def tangent_solve(g, y):
+            # g(z) = z - J z is linear with ||J|| = O(h |grad u|) << 1;
+            # Neumann iteration z <- y + J z converges geometrically
+            z = y
+            for _ in range(8):
+                jz = tuple(a - b for a, b in zip(z, g(z)))
+                z = tuple(a + b for a, b in zip(y, jz))
+            return z
+
+        d0 = _rhs(p, sample, am, rp)
+        z = jax.lax.custom_root(f_root, (d0.x, d0.y, d0.k, d0.l),
+                                solve, tangent_solve)
+        return Packets(p.x + h * z[0], p.y + h * z[1], p.k + h * z[2],
+                       p.l + h * z[3], p.sign)
     raise ValueError(f"unknown ray integrator {method!r}")
 
 

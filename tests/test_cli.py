@@ -84,3 +84,13 @@ def test_omega_k_mem_cap_blocking_and_fanout(tmp_path):
     main(["omega-k", str(run), "--out-dir", str(out_c), "--fanout", "2"])
     got = sorted(p for p in os.listdir(out_c) if p.startswith("radial"))
     assert got == files
+
+
+def test_live_dashboard_written(tmp_path):
+    """--live N writes a refreshing live.png + live.html during the run
+    (headless stand-in for the reference's Makie window)."""
+    main(["rsw", "--ag", "0.2", "--aw", "0.02", "--live", "2",
+          *_common(tmp_path, T="0.05")])
+    assert (tmp_path / "live.png").exists()
+    html = (tmp_path / "live.html").read_text()
+    assert "http-equiv=\"refresh\"" in html and "live.png" in html

@@ -2,6 +2,8 @@
 with the JLD2 on-disk layout — complex (re, im) compound dtype, Julia
 column-major array order — and check the reader round-trips it and that
 cmd_steady_raytracing runs on it."""
+import os
+
 import numpy as np
 import h5py
 import pytest
@@ -80,3 +82,71 @@ class TestJLD2Reader:
         assert steps
         x = r.read(f"p/x/{steps[-1]}")
         assert np.isfinite(x).all()
+
+
+class TestJLD2Fidelity:
+    """Structurally-faithful fixtures (VERDICT r2 item 9): superblock v2+,
+    /_types committed datatypes with julia_type attrs, unicode keys and
+    struct fieldnames — the features real JLD2.jl files carry."""
+
+    def _psih(self, rng, nx=16):
+        nl, nkr = nx, nx // 2 + 1
+        return (rng.standard_normal((2, nl, nkr))
+                + 1j * rng.standard_normal((2, nl, nkr))).astype(np.complex64)
+
+    def test_fixture_has_jld2_structure(self, tmp_path, rng):
+        from juliaraytracingsw_tpu.io.jld2_fixture import write_twolayer_ic
+
+        p = str(tmp_path / "ic.jld2")
+        write_twolayer_ic(p, self._psih(rng), dt=2e-3, t=7.25)
+        # HDF5 signature + superblock version >= 2 (byte 8 of the file)
+        with open(p, "rb") as fh:
+            header = fh.read(16)
+        assert header[:8] == b"\x89HDF\r\n\x1a\n"
+        assert header[8] >= 2, f"superblock version {header[8]}"
+        with h5py.File(p, "r") as f:
+            assert "_types" in f and len(f["_types"]) >= 2
+            names = sorted(f["_types"])
+            dt0 = f[f"_types/{names[0]}"]
+            assert "julia_type" in dt0.attrs
+            assert "Complex" in dt0.attrs["julia_type"]
+            assert f["params"].attrs["julia_type"] == "Main.Params"
+            assert "snapshots/ψh/0" in f
+
+    def test_load_twolayer_ic_roundtrip(self, tmp_path, rng):
+        from juliaraytracingsw_tpu.io.jld2 import load_struct, load_twolayer_ic
+        from juliaraytracingsw_tpu.io.jld2_fixture import write_twolayer_ic
+
+        psih = self._psih(rng)
+        p = str(tmp_path / "ic.jld2")
+        write_twolayer_ic(p, psih, dt=2e-3, t=7.25, f0=3.0, U=(0.15, -0.15),
+                          mu=0.4)
+        out, t, params, dt = load_twolayer_ic(p)
+        np.testing.assert_allclose(out, psih, rtol=1e-6)
+        assert t == 7.25 and dt == 2e-3
+        # unicode fieldnames unpack like the reference's @unpack f₀, β, μ
+        assert params["f₀"] == 3.0 and params["μ"] == 0.4
+        np.testing.assert_allclose(params["U"], [0.15, -0.15])
+        with pytest.raises(TypeError):
+            load_struct(p, "clock/dt")
+
+    def test_simulation_to_raytracing_chain(self, tmp_path, rng):
+        """Production chain: twolayer-simulation writes the IC file in the
+        reference layout; twolayer --ic-file consumes it
+        (TwoLayerSimulation.jl:137-143 -> TwoLayerRaytracing.jl:162-182)."""
+        from juliaraytracingsw_tpu.experiments.__main__ import main
+
+        sim_dir = tmp_path / "sim"
+        main(["twolayer-simulation", "--nx", "16", "--T", "0.02",
+              "--U", "0.15", "--out-dir", str(sim_dir)])
+        ics = [p for p in os.listdir(sim_dir)
+               if p.startswith("initial_condition_")]
+        assert ics, "no IC file written"
+        run_dir = tmp_path / "run"
+        main(["twolayer", "--nx", "16", "--T", "0.02", "--spinup-T", "0.0",
+              "--output-dt", "0.01", "--out-dir", str(run_dir),
+              "--sqrt-npackets", "2", "--ic-file", str(sim_dir / ics[0])])
+        from juliaraytracingsw_tpu.io.output import SequencedReader
+
+        r = SequencedReader(str(run_dir / "packets"))
+        assert r.steps("p/x")

@@ -257,6 +257,48 @@ class TestRays:
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gt),
                                    rtol=1e-3, atol=1e-6)
 
+    def test_midpoint_convergence_control_and_implicit_grad(self, rng):
+        """ray_method='midpoint' solves the implicit system to a residual
+        tolerance (not a fixed iteration count) and is differentiable via
+        implicit differentiation (lax.custom_root). Checks: (a) maxit=1 vs
+        converged solves differ (the while_loop really iterates), (b) the
+        converged solve is symplectic-accurate vs a fine rk4 reference,
+        (c) gradients through the implicit solve match the rk4 path's to
+        integrator-difference accuracy."""
+        g = make_grid(64)
+        psih = band_limited_psih(g, rng, amp=0.05)
+        fields = fields_from_psih(psih, g)
+        p = lattice_packets(4, g.Lx, g.Ly, k0=6.0, k_ring=True)
+        base = dict(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                    dx=g.dx, dy=g.dy)
+        out_conv = raytrace(p, fields, fields, 0.0, 1.0,
+                            RayParams(**base, midpoint_rtol=1e-7),
+                            nsubsteps=50, method="midpoint")
+        out_1it = raytrace(p, fields, fields, 0.0, 1.0,
+                           RayParams(**base, midpoint_maxit=1),
+                           nsubsteps=50, method="midpoint")
+        dx = np.abs(np.asarray(out_conv.x) - np.asarray(out_1it.x)).max()
+        assert dx > 1e-7, "solver did not iterate past the first step"
+        ref = raytrace(p, fields, fields, 0.0, 1.0, RayParams(**base),
+                       nsubsteps=800, method="rk4")
+        for a, b in zip(out_conv[:4], ref[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+        def loss(fl, method):
+            out = raytrace(p, fl, fl, 0.0, 0.2, RayParams(**base),
+                           nsubsteps=8, method=method)
+            return jnp.mean(out.k**2 + out.x**2)
+
+        gm = jax.grad(lambda fl: loss(fl, "midpoint"))(fields)
+        gr = jax.grad(lambda fl: loss(fl, "rk4"))(fields)
+        assert np.isfinite(np.asarray(gm)).all()
+        gr_np = np.asarray(gr)
+        # integrator-order difference bounds the gap; absolute floor set by
+        # the gradient scale (near-zero spectral entries differ freely)
+        np.testing.assert_allclose(np.asarray(gm), gr_np,
+                                   rtol=0.05, atol=2e-3 * np.abs(gr_np).max())
+
     def test_time_blend_convention(self):
         """At a=0 rays see the OLD field; at a=1 the NEW field (regression
         pin for the reference's inverted alpha, GPURaytracing.jl:33)."""
