@@ -115,9 +115,10 @@ def main():
     k0 = float(np.sqrt(3.0) * f / Cg)
     flow_steps, ray_substeps = 5, 1
 
-    def hero(sqrtp, interp, tag):
+    def hero(sqrtp, interp, tag, table_dtype="float32"):
         rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                       dx=grid.dx, dy=grid.dy, interp=interp)
+                       dx=grid.dx, dy=grid.dy, interp=interp,
+                       table_dtype=table_dtype)
         packets = lattice_packets(sqrtp, grid.Lx, grid.Ly, k0=k0, k_ring=True)
         frame = make_coupled_frame(model, step_fn, psih_fn, rp, flow_steps,
                                    ray_substeps=ray_substeps,
@@ -139,6 +140,7 @@ def main():
         return rays_per_s, rp, packets, sim
 
     rays_per_s, rp, packets, sim = hero(1024, "bilinear", "hero")
+    hero(1024, "bilinear", "hero_bf16", table_dtype="bfloat16")
     hero(1024, "bspline", "hero_bspline")
     hero(512, "bilinear", "ensemble262k")   # reference's largest real ensemble
 
@@ -216,6 +218,20 @@ def main():
     merged = dict(prev)
     merged.update(results)
     merged["best_hero_rays_per_s"] = max(best, rays_per_s)
+    merged["note"] = (
+        "round 3: fast-path ablation measured (benchmarks/profiling/"
+        "prof_r3_variants.py): the 1M-row pair gather is index-latency-"
+        "bound (~15-18 ns/row at ~4% of HBM peak; width and dtype nearly "
+        "free), so bf16 tables buy only ~5-7% and JRSW_PATCH_IMPL=mxu is "
+        "net slower — f32 split stays the default. The remaining stage-"
+        "math cost needs the fused Mosaic kernel, which cannot compile in "
+        "this environment (trivial pallas_call times out 600 s; recorded: "
+        "benchmarks/profiling/PALLAS_PROBE_r3.md). ensemble262k per-ray "
+        "deficit vs hero is the ~3 ms/step fixed flow+fields+table cost "
+        "amortised over fewer rays (solving t=F+N*v from the 1M/262k "
+        "pairs gives F~3 ms, v~32 ns/ray) — per-ray throughput is "
+        "monotone INCREASING in ensemble size, as it should be."
+    )
     with open(SELF_BASELINE_PATH, "w") as fh:
         json.dump(merged, fh, indent=1)
 

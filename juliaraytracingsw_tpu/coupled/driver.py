@@ -35,7 +35,9 @@ from ..rays.packets import Packets
 from ..rays.patch import build_patch_table
 from ..rays.raytrace import (
     RayParams,
+    _table_impl,
     _use_patch,
+    build_pair,
     fields_from_psih,
     make_pair_table,
     raytrace,
@@ -139,6 +141,8 @@ def make_coupled_frame(
                             "rkf78" if ray_method == "adaptive7" else "dopri5")
     ny, nx = grid.ny, grid.nx
 
+    conv_build = _table_impl() == "conv"
+
     def one(carry, _):
         sol, clock, sstate, packets, fields_old, T_old, bd = carry
         t0 = clock.t
@@ -147,12 +151,24 @@ def make_coupled_frame(
             # raytracing/RaytracingDriver.jl:257-259)
             clock = Clock(clock.t + dt, clock.step + 1)
             fields_new, T_new = fields_old, T_old
-            T_pair = make_pair_table(T_old, T_new, rp.table_dtype) if use_patch else ()
+            if use_patch:
+                T_pair = (build_pair(fields_old, fields_new, rp) if conv_build
+                          else make_pair_table(T_old, T_new, rp.table_dtype))
+            else:
+                T_pair = ()
         else:
             sol, clock, sstate = step_fn(sol, clock, sstate)
             fields_new = fields_from_psih(psih_fn(sol), grid, rp.interp)
-            T_new = build_patch_table(fields_new, rp.interp) if use_patch else ()
-            T_pair = make_pair_table(T_old, T_new, rp.table_dtype) if use_patch else ()
+            if use_patch and conv_build:
+                # one-op pair build straight from the two field stacks —
+                # no per-level table carry, no 2W concat
+                T_new = ()
+                T_pair = build_pair(fields_old, fields_new, rp)
+            elif use_patch:
+                T_new = build_patch_table(fields_new, rp.interp)
+                T_pair = make_pair_table(T_old, T_new, rp.table_dtype)
+            else:
+                T_new, T_pair = (), ()
         if adaptive:
             packets, _info = raytrace_adaptive(
                 packets, fields_old, fields_new, t0, clock.t, rp, **ray_opts,
@@ -183,7 +199,8 @@ def make_coupled_frame(
 
     @jax.jit
     def frame(sim: SimState) -> SimState:
-        T0 = build_patch_table(sim.fields, rp.interp) if use_patch else ()
+        T0 = (build_patch_table(sim.fields, rp.interp)
+              if use_patch and not conv_build else ())
         carry = (sim.sol, sim.clock, sim.stepper_state, sim.packets,
                  sim.fields, T0, sim.bd)
         carry, _ = jax.lax.scan(one, carry, None, length=flow_steps)

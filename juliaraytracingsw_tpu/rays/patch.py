@@ -48,6 +48,7 @@ import jax.numpy as jnp
 __all__ = [
     "PATCH_SHAPES",
     "build_patch_table",
+    "build_pair_table_direct",
     "patch_interpolate",
 ]
 
@@ -83,6 +84,34 @@ def build_patch_table(fields, method: str = "bilinear"):
     T = jnp.stack(shifted)
     T = T.transpose(2, 3, 1, 0)
     return T.reshape(ny * nx, F * ph * pw)
+
+
+def build_pair_table_direct(fields_old, fields_new, method: str = "bilinear",
+                            dtype: str = "float32"):
+    """ONE-op (old|new) pair-table build via patch-extraction convolution.
+
+    Replaces build_patch_table(old) + build_patch_table(new) + the 2W-wide
+    concat with a single ``conv_general_dilated_patches`` over the stacked
+    2F channels: the roll/stack/transpose build pays a full minor-dim
+    relayout of the table plus a second full copy in the concat, while the
+    patch conv emits the (ny, nx, 2F*ph*pw) layout directly.
+
+    Column layout is identical to
+    ``make_pair_table(build_patch_table(old), build_patch_table(new))``
+    (channel-major (c, dy, dx) patch ordering — pinned by tests; bit-exact
+    on CPU, MXU-rounding-exact on TPU where the conv lowers through the
+    matrix unit). For bf16 tables the cast happens BEFORE the build so the
+    conv streams half the bytes.
+    """
+    ph, pw, lo = PATCH_SHAPES[method]
+    F, ny, nx = fields_old.shape
+    X = jnp.concatenate([fields_old, fields_new]).astype(jnp.dtype(dtype))
+    Xp = jnp.pad(X, ((0, 0), (lo, ph - 1 - lo), (lo, pw - 1 - lo)),
+                 mode="wrap")[None]
+    P = jax.lax.conv_general_dilated_patches(
+        Xp, (ph, pw), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NHWC"))
+    return P.reshape(ny * nx, 2 * F * ph * pw)
 
 
 def _axis_weights_bilinear(local, size, lo):
