@@ -559,7 +559,6 @@ def cmd_sweep(args):
     replacement for SLURM job arrays + awk lookups (SURVEY.md §2.5)."""
     import shlex
     import subprocess
-    import sys
 
     from ..config.params import load_sweep_table
 

@@ -177,13 +177,16 @@ def _make_taps_sampler(fields_old, fields_new, rp: RayParams):
 
 def _table_impl() -> str:
     """Pair-table build strategy, JRSW_TABLE_BUILD (read at trace time):
-    'conv' (default): one patch-extraction convolution emitting the pair
-    layout directly (patch.build_pair_table_direct); 'roll': per-level
-    roll/stack/transpose tables + a 2W concat (the round-2 formulation,
-    kept as the layout oracle)."""
+    'roll' (default): per-level roll/stack/transpose tables + a 2W concat;
+    'conv': one patch-extraction convolution emitting the pair layout
+    directly (patch.build_pair_table_direct). Measured on the bench TPU:
+    forward coupled steps are EQUAL (XLA fuses the roll build into the
+    frame), but conv's BACKWARD (a conv transpose) costs ~44% more on the
+    differentiable hero step (122 vs 85 ms fwd+bwd) — so roll stays the
+    default and conv remains an opt-in with a simpler forward graph."""
     import os
 
-    return os.environ.get("JRSW_TABLE_BUILD", "conv")
+    return os.environ.get("JRSW_TABLE_BUILD", "roll")
 
 
 def build_pair(fields_old, fields_new, rp: RayParams):

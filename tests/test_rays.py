@@ -257,6 +257,28 @@ class TestRays:
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gt),
                                    rtol=1e-3, atol=1e-6)
 
+    @pytest.mark.parametrize("interp", ["bilinear", "bspline", "bicubic"])
+    def test_conv_pair_build_matches_roll(self, rng, interp):
+        """JRSW_TABLE_BUILD='conv' (one patch-extraction convolution) must
+        produce the exact column layout of the roll-built pair table."""
+        from juliaraytracingsw_tpu.rays.patch import (
+            build_pair_table_direct,
+            build_patch_table,
+        )
+        from juliaraytracingsw_tpu.rays.raytrace import make_pair_table
+
+        g = make_grid(32)
+        f0 = fields_from_psih(band_limited_psih(g, rng, amp=0.05), g,
+                              interp=interp)
+        f1 = fields_from_psih(band_limited_psih(g, rng, amp=0.05), g,
+                              interp=interp)
+        A = build_pair_table_direct(f0, f1, interp)
+        B = make_pair_table(build_patch_table(f0, interp),
+                            build_patch_table(f1, interp))
+        assert A.shape == B.shape
+        np.testing.assert_allclose(np.asarray(A), np.asarray(B),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_midpoint_convergence_control_and_implicit_grad(self, rng):
         """ray_method='midpoint' solves the implicit system to a residual
         tolerance (not a fixed iteration count) and is differentiable via
