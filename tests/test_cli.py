@@ -86,6 +86,27 @@ def test_omega_k_mem_cap_blocking_and_fanout(tmp_path):
     assert got == files
 
 
+def test_omega_k_ty_model_mem_cap(tmp_path):
+    """TY omega-k rows (complex-U +/- separation) under mem-cap blocking:
+    sub-block outputs identical to the unblocked run."""
+    run = tmp_path / "run"
+    main(["thomasyamada", "--nx", "16", "--ty-dt", "2e-3",
+          "--startup-dt-factor", "2", "--startup-T", "0.01", "--T", "0.08",
+          "--output-dt", "0.01", "--out-dir", str(run)])
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    main(["omega-k", str(run), "--base", "ty", "--model", "ty",
+          "--out-dir", str(out_a)])
+    main(["omega-k", str(run), "--base", "ty", "--model", "ty",
+          "--out-dir", str(out_b), "--mem-cap-gb", "5e-7"])
+    files = sorted(os.listdir(out_a))
+    assert files == sorted(os.listdir(out_b)) and len(files) == 9
+    with h5py.File(out_a / files[2], "r") as fa, \
+            h5py.File(out_b / files[2], "r") as fb:
+        assert "U_wave" in fa and "ut" in fa
+        for key in fa:
+            np.testing.assert_array_equal(fa[key][()], fb[key][()])
+
+
 def test_live_dashboard_written(tmp_path):
     """--live N writes a refreshing live.png + live.html during the run
     (headless stand-in for the reference's Makie window)."""
