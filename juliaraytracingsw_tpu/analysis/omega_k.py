@@ -28,16 +28,9 @@ __all__ = [
 def count_snapshots(reader, group: str = "snapshots/sol",
                     skip_first: bool = True) -> int:
     """Number of frames a collect_time_series pass will yield — metadata
-    only (h5py group key counts), no snapshot data is read. Used to size
+    only (reader.steps key counts), no snapshot data is read. Used to size
     bounded-memory k sub-blocks before streaming."""
-    import h5py
-
-    n = 0
-    for path in reader.paths:
-        with h5py.File(path, "r") as f:
-            if group in f:
-                n += len(f[group].keys())
-    return max(n - int(skip_first), 0)
+    return max(len(reader.steps(group)) - int(skip_first), 0)
 
 
 def snapshot_shape(reader, group: str = "snapshots/sol"):

@@ -158,7 +158,15 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
 
         drv.live = LiveDashboard(args.out_dir, title=default_base,
                                  every=args.live)
-    drv.init(sol0, packets)
+    clock0 = None
+    if getattr(args, "clock_t0", None):
+        import jax.numpy as jnp
+
+        from ..core.steppers import Clock
+
+        clock0 = Clock(jnp.asarray(args.clock_t0, jnp.float32),
+                       jnp.zeros((), jnp.int32))
+    drv.init(sol0, packets, clock=clock0)
     if args.restore:
         drv.restore(args.restore)
     spinup_steps = int(args.spinup_T / dt)
@@ -292,8 +300,13 @@ def cmd_twolayer(args):
         Uf = np.asarray(params.get("U", U))
         U = float(np.max(np.abs(Uf))) if Uf.ndim else float(Uf)
         mu = float(params.get("μ", mu))
-        print(f"IC file {args.ic_file}: t={t0:.3f} U={U} mu={mu} "
-              f"dt_file={dt_file}")
+        # adopt the file's dt and resume the clock at the stored t — the
+        # reference chain does both (TwoLayerRaytracing.jl:168 reads
+        # clock/dt; the run continues the spun-up trajectory)
+        dt = args.dt = float(dt_file)
+        args.clock_t0 = float(t0)
+        print(f"IC file {args.ic_file}: t0={t0:.3f} U={U} mu={mu} "
+              f"dt={dt} (file values adopted)")
         psih0 = jnp.asarray(psih_np)
         if psih0.shape != (2, grid.ny, grid.nkr):
             raise SystemExit(
@@ -476,6 +489,9 @@ def cmd_twolayer_simulation(args):
                       step=int(clock.step), f0=args.f,
                       U=(args.U, -args.U), mu=args.mu)
     with h5py.File(path, "a") as f:
+        # convenience keys consumed by utils.twolayer_helpers
+        # .load_two_layer_state (default key 'ic/psih') and PV restarts
+        f["ic/psih"] = to_host(psih)
         f["ic/qh"] = to_host(sol)
         for name, val in (("Cg", args.cg), ("nx", grid.nx), ("Lx", grid.Lx)):
             f[f"params_extra/{name}"] = val
@@ -658,15 +674,20 @@ def cmd_omega_k(args):
     if args.model == "ty":
         from ..models.thomasyamada import ty_bases
 
+        # full-grid eigenbases computed ONCE; sub-blocks slice them
+        ty_full = [np.asarray(b) for b in ty_bases(grid)]
         n_vars = 6
     elif args.decompose:
         f0 = float(reader.read("params/f"))
         Cg2 = float(reader.read("params/Cg2"))
         params = RSWParams(nu=0.0, nnu=4, f=f0, Cg2=Cg2)
         Cg = float(np.sqrt(Cg2))
+        bases_full = [np.asarray(b)
+                      for b in balanced_wave_bases(grid, params)]
         n_vars = 3
     else:
-        n_vars = int(snapshot_shape(reader)[0])   # state channel count
+        shape = snapshot_shape(reader)
+        n_vars = int(shape[0]) if shape else 3   # state channel count
 
     def make_extract(lo, hi):
         """Extract + complex-row builders for one k sub-block [lo, hi)."""
@@ -679,8 +700,7 @@ def cmd_omega_k(args):
             invK = np.asarray(grid.invKrsq)[:, lo:hi]
             kr_b = np.asarray(grid.kr)[None, lo:hi]
             ell = np.asarray(grid.l)[:, None]
-            Phi0, Phip, Phim = (np.asarray(b)[:, :, lo:hi]
-                                for b in ty_bases(grid))
+            Phi0, Phip, Phim = (b[:, :, lo:hi] for b in ty_full)
 
             def extract(snap):
                 blk = snap[:, :, lo:hi]
@@ -704,8 +724,7 @@ def cmd_omega_k(args):
                 + 1j * (s["vt"] + s["vg"] + s["vw"]),
             }
         elif args.decompose:
-            bases = [np.asarray(b)[:, :, lo:hi]
-                     for b in balanced_wave_bases(grid, params)]
+            bases = [b[:, :, lo:hi] for b in bases_full]
 
             def extract(snap):
                 # eigen-coefficient rows c0/c+/c- for the k sub-block

@@ -101,7 +101,9 @@ def write_twolayer_ic(path: str, psih: np.ndarray, *, dt: float, t: float,
     with h5py.File(path, "w", libver=("v108", "latest")) as f:
         f.require_group("_types")
         comp = _COMPLEX64 if psih.dtype == np.complex64 else _COMPLEX128
-        _commit_type(f, 1, comp, "Core.Complex{Core.Float32}")
+        _commit_type(f, 1, comp,
+                     "Core.Complex{Core.Float32}" if comp is _COMPLEX64
+                     else "Core.Complex{Core.Float64}")
         # our (2, nl, nkr) row-major buffer == Julia (nkr, nl, 2)
         # column-major buffer; h5py dims are already the reversed Julia dims
         f[f"snapshots/ψh/{step}"] = _as_compound_complex(psih)

@@ -381,15 +381,19 @@ def _step(p: Packets, sample, a0, da, h, rp: RayParams, method: str):
             return r
 
         def solve(f_, z0):
+            # carry (z, f(z)) so the RHS is evaluated ONCE per iteration
+            # (cond reads the carried residual; body computes the next)
             def cond(c):
-                z, i = c
-                return jnp.logical_and(_resid(f_(z), z) > 1.0, i < maxit)
+                z, fz, i = c
+                return jnp.logical_and(_resid(fz, z) > 1.0, i < maxit)
 
             def body(c):
-                z, i = c
-                return tuple(a - b for a, b in zip(z, f_(z))), i + 1
+                z, fz, i = c
+                z_new = tuple(a - b for a, b in zip(z, fz))
+                return z_new, f_(z_new), i + 1
 
-            z, _ = jax.lax.while_loop(cond, body, (z0, jnp.int32(0)))
+            z, _, _ = jax.lax.while_loop(
+                cond, body, (z0, f_(z0), jnp.int32(0)))
             return z
 
         def tangent_solve(g, y):

@@ -26,8 +26,11 @@ NY = NX = 32
 
 def _setup(interp, seed=0):
     rng = np.random.default_rng(seed)
-    fo = jnp.asarray(rng.standard_normal((5, NY, NX)) * 0.1, jnp.float32)
-    fn = jnp.asarray(rng.standard_normal((5, NY, NX)) * 0.1, jnp.float32)
+    # bicubic uses the stacked [f|fx|fy|fxy] corner-data layout (4x5 ch);
+    # random data suffices for impl-consistency pins
+    nch = 20 if interp == "bicubic" else 5
+    fo = jnp.asarray(rng.standard_normal((nch, NY, NX)) * 0.1, jnp.float32)
+    fn = jnp.asarray(rng.standard_normal((nch, NY, NX)) * 0.1, jnp.float32)
     rp = RayParams(f=3.0, Cg=1.0, x0=0.0, y0=0.0, dx=L / NX, dy=L / NY,
                    interp=interp)
     pk = lattice_packets(16, L, L, k0=5.196, k_ring=True)
@@ -134,7 +137,7 @@ def test_raytrace_tables_fused_gradient_flows_to_table():
     assert float(jnp.abs(g).max()) > 0
 
 
-@pytest.mark.parametrize("interp", ["bilinear", "bspline"])
+@pytest.mark.parametrize("interp", ["bilinear", "bspline", "bicubic"])
 def test_patch_impl_mxu_matches_split(interp):
     """JRSW_PATCH_IMPL=mxu (single-pass matmul stage math) reproduces the
     default split formulation through raytrace_tables."""
