@@ -223,14 +223,16 @@ def main():
         "prof_r3_variants.py): the 1M-row pair gather is index-latency-"
         "bound (~15-18 ns/row at ~4% of HBM peak; width and dtype nearly "
         "free), so bf16 tables buy only ~5-7% and JRSW_PATCH_IMPL=mxu is "
-        "net slower — f32 split stays the default. The remaining stage-"
-        "math cost needs the fused Mosaic kernel, which cannot compile in "
-        "this environment (trivial pallas_call times out 600 s; recorded: "
-        "benchmarks/profiling/PALLAS_PROBE_r3.md). ensemble262k per-ray "
-        "deficit vs hero is the ~3 ms/step fixed flow+fields+table cost "
-        "amortised over fewer rays (solving t=F+N*v from the 1M/262k "
-        "pairs gives F~3 ms, v~32 ns/ray) — per-ray throughput is "
-        "monotone INCREASING in ensemble size, as it should be."
+        "net slower. New default stage math JRSW_PATCH_IMPL=pairsplit "
+        "(weights shared between time levels) measured +6.5% over split "
+        "(33.5 vs 35.9 ms/substep). Deeper cuts need the fused Mosaic "
+        "kernel, which cannot compile in this environment (trivial "
+        "pallas_call times out 600 s; recorded: benchmarks/profiling/"
+        "PALLAS_PROBE_r3.md). ensemble262k per-ray deficit vs hero is the "
+        "~3 ms/step fixed flow+fields+table cost amortised over fewer "
+        "rays (t=F+N*v fit: F~3 ms, v~32 ns/ray) — per-ray throughput is "
+        "monotone INCREASING in ensemble size, as it should be. 512^2 "
+        "flow step is XLA-FFT-bound (docs/PERFORMANCE.md roofline)."
     )
     with open(SELF_BASELINE_PATH, "w") as fh:
         json.dump(merged, fh, indent=1)

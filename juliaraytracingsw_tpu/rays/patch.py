@@ -50,6 +50,8 @@ __all__ = [
     "build_patch_table",
     "build_pair_table_direct",
     "patch_interpolate",
+    "patch_interpolate_pair",
+    "patch_interpolate_pair_shared",
 ]
 
 # interp method -> (patch height, patch width, lo offset of tap grid)
@@ -255,6 +257,45 @@ def patch_interpolate_pair(rows_pair, local_x, local_y, a,
     w_t2 = jnp.concatenate([w_t, w_t], axis=1)             # (N, 2W)
     Mb = jnp.concatenate([(1.0 - a) * M, a * M], axis=0)   # (2W, F)
     return ((rows_pair * w_t2) @ Mb).T                     # (F, N)
+
+
+@partial(jax.jit, static_argnames=("method", "deriv_scale"))
+def patch_interpolate_pair_shared(rows_pair, local_x, local_y, a,
+                                  method: str = "bilinear",
+                                  deriv_scale=(1.0, 1.0)):
+    """Time-blended evaluation reading the PAIR rows in one pass with the
+    separable weights built ONCE (JRSW_PATCH_IMPL=pairsplit): the split
+    formulation evaluates old/new levels via two patch_interpolate calls,
+    constructing identical weight matrices twice; here the (N, 2, F, ph, pw)
+    view shares them and the final time blend contracts the level axis.
+
+    rows_pair : (N, 2*F*ph*pw); returns (F, N) (F//4 rows for bicubic)."""
+    ph, pw, lo = PATCH_SHAPES[method]
+    N = rows_pair.shape[0]
+    F = rows_pair.shape[1] // (2 * ph * pw)
+    P = rows_pair.reshape(N, 2, F, ph, pw)
+    if method == "bicubic":
+        Fb = F // 4
+        Pb = P.reshape(N, 2, 4, Fb, ph, pw)
+        out = None
+        for b, (wy, wx) in enumerate(
+                _hermite_block_weights(local_x, local_y, deriv_scale)):
+            v = jnp.sum(Pb[:, :, b] * wx[:, None, None, None, :], axis=4)
+            v = jnp.sum(v * wy[:, None, None, :], axis=3)    # (N, 2, Fb)
+            out = v if out is None else out + v
+    else:
+        if method == "bilinear":
+            wx = _axis_weights_bilinear(local_x, pw, lo)
+            wy = _axis_weights_bilinear(local_y, ph, lo)
+        elif method == "bspline":
+            wx = _axis_weights_bspline(local_x, pw, lo)
+            wy = _axis_weights_bspline(local_y, ph, lo)
+        else:
+            raise ValueError(f"unknown patch interp {method!r}")
+        out = jnp.sum(P * wx[:, None, None, None, :], axis=4)
+        out = jnp.sum(out * wy[:, None, None, :], axis=3)    # (N, 2, F)
+    v = (1.0 - a) * out[:, 0] + a * out[:, 1]
+    return v.T                                               # (F, N)
 
 
 @partial(jax.jit, static_argnames=("method", "deriv_scale"))

@@ -137,13 +137,14 @@ def test_raytrace_tables_fused_gradient_flows_to_table():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.parametrize("impl", ["mxu", "pairsplit"])
 @pytest.mark.parametrize("interp", ["bilinear", "bspline", "bicubic"])
-def test_patch_impl_mxu_matches_split(interp):
-    """JRSW_PATCH_IMPL=mxu (single-pass matmul stage math) reproduces the
-    default split formulation through raytrace_tables."""
+def test_patch_impl_mxu_matches_split(interp, impl):
+    """JRSW_PATCH_IMPL={mxu,pairsplit} (single-pass pair-row stage math)
+    reproduces the default split formulation through raytrace_tables."""
     rp, pk, T_pair = _setup(interp)
     out_ref = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
-    os.environ["JRSW_PATCH_IMPL"] = "mxu"
+    os.environ["JRSW_PATCH_IMPL"] = impl
     try:
         jax.clear_caches()
         out = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
