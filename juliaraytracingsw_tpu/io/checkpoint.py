@@ -66,12 +66,16 @@ def load_checkpoint(path: str, like_tree):
     out = []
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
-        ref_arr = np.asarray(ref)
-        if arr.shape != ref_arr.shape:
+        # compare by METADATA only — np.asarray(ref) would pull the live
+        # device leaf to host, and complex d2h is UNIMPLEMENTED on this
+        # TPU runtime (found by a real on-chip restore; core/transfer.py)
+        ref_shape = tuple(np.shape(ref))
+        ref_dtype = np.dtype(getattr(ref, "dtype", np.float64))
+        if tuple(arr.shape) != ref_shape:
             raise ValueError(
-                f"checkpoint leaf {i} shape {arr.shape} != expected {ref_arr.shape}"
+                f"checkpoint leaf {i} shape {arr.shape} != expected {ref_shape}"
             )
         from ..core.transfer import to_device
 
-        out.append(to_device(arr.astype(ref_arr.dtype)))
+        out.append(to_device(arr.astype(ref_dtype)))
     return jax.tree_util.tree_unflatten(treedef, out)
