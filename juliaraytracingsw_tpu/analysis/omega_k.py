@@ -20,7 +20,7 @@ import numpy as np
 
 __all__ = [
     "hann", "demean", "detrend", "clean_fft", "collect_time_series",
-    "count_snapshots", "snapshot_shape",
+    "count_snapshots", "snapshot_shape", "assemble_radial_omega_k",
     "omega_k_spectrum", "stft_omega_k", "cubic_velocity_spectra",
 ]
 
@@ -143,6 +143,52 @@ def stft_omega_k(t, data, window_length: int, overlap: float = 0.5):
         centers.append(seg_t.mean())
         specs.append(clean_fft(seg_t, seg, w))
     return np.asarray(centers), omega, np.stack(specs, axis=0)
+
+
+def assemble_radial_omega_k(omega_dir: str, grid, names=("c0", "cp", "cm"),
+                            resolution_factor: int = 2):
+    """Assemble per-k ``radial_data_k=*.h5`` files (cmd_omega_k output)
+    into radially-binned frequency-wavenumber power spectra — the
+    reference's MakeOmegaKPlots assembly
+    (analysis/Notebooks/MakeOmegaKPlots.jl:22-71: per-k |c|^2 slices
+    weighted into exact-area radius bins and summed over k).
+
+    Returns (omega_shifted, radii, {name: (n_omega, R) power}).
+    """
+    import glob
+    import os
+    import re
+
+    import h5py
+
+    from .radial import radial_weights
+
+    radii, W = radial_weights(grid, resolution_factor)   # CSR (R, nl*nkr)
+    files = sorted(glob.glob(os.path.join(omega_dir, "radial_data_k=*.h5")))
+    if not files:
+        raise FileNotFoundError(f"no radial_data_k files in {omega_dir}")
+    acc = {}
+    omega = None
+    nkr, nl = grid.nkr, grid.nl
+    for path in files:
+        ki = int(re.search(r"k=(\d+)", os.path.basename(path)).group(1))
+        with h5py.File(path, "r") as f:
+            if omega is None:
+                t = f["t"][()]
+                dt = float(np.median(np.diff(t)))
+                omega = 2.0 * np.pi * np.fft.fftfreq(len(t), d=dt)
+            # column block of the sparse weights for this k_x row:
+            # flattened cell index = l * nkr + ki (analysis/radial.py)
+            cols = np.arange(nl) * nkr + ki
+            Wk = np.asarray(W[:, cols].todense())        # (R, nl)
+            for name in names:
+                if name not in f:
+                    continue
+                power = np.abs(f[name][()]) ** 2          # (T, nl)
+                acc.setdefault(name, 0.0)
+                acc[name] = acc[name] + power @ Wk.T      # (T, R)
+    shift = np.fft.fftshift
+    return shift(omega), radii, {n: shift(v, axes=0) for n, v in acc.items()}
 
 
 def cubic_velocity_spectra(uh, vh, etah, grid):

