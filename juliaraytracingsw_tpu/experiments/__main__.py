@@ -725,15 +725,24 @@ def cmd_omega_k(args):
             }
         elif args.decompose:
             bases = [b[:, :, lo:hi] for b in bases_full]
+            ikb = 1j * np.asarray(grid.kr)[None, lo:hi]    # (1, block)
+            ilb = 1j * np.asarray(grid.l)[:, None]         # (nl, 1)
+            Kd2 = f0 * f0 / Cg2
+            invKKd = 1.0 / (np.asarray(grid.Krsq)[:, lo:hi] + Kd2)
 
             def extract(snap):
                 # eigen-coefficient rows c0/c+/c- for the k sub-block
                 # (FourierRSW.jl:76-162 stores these per k_x row; projection
                 # contracts (u, v, Cg eta) against conj(Phi), RSWUtils.jl:48-54)
+                # plus the geostrophic streamfunction row psit = -qh/(K^2+Kd^2)
+                # consumed by the b-parameter chain (compute_b_parameter.jl)
                 blk = snap[:, :, lo:hi]
                 state = np.stack([blk[0], blk[1], Cg * blk[2]])
-                return {name: np.sum(state * np.conj(Phi), axis=0)
-                        for name, Phi in zip(("c0", "cp", "cm"), bases)}
+                out = {name: np.sum(state * np.conj(Phi), axis=0)
+                       for name, Phi in zip(("c0", "cp", "cm"), bases)}
+                qh = ikb * blk[1] - ilb * blk[0] - f0 * blk[2]
+                out["psit"] = -qh * invKKd
+                return out
         else:
             def extract(snap):
                 return {"sol": snap[..., lo:hi]}
@@ -817,6 +826,54 @@ def cmd_omega_k_plot(args):
                              name=f"omega_k_{name}.png",
                              title=f"{name} power")
     print(f"assembled {len(power)} classes -> {out_path}")
+
+
+def cmd_b_parameter(args):
+    """Ray-diffusivity b-parameter from the per-k omega-k output — the
+    reference's compute_b_parameter.jl chain: psi-correlation spectrum
+    C(omega, q) from the stored psit rows, WKB resonance integral D11(k),
+    quadratic fit b (k/Kd)^2."""
+    import glob
+    import re
+
+    import h5py
+
+    from ..analysis.b_parameter import compute_D11, fit_b, psi_correlation
+    from ..core.grid import make_grid
+    from ..io.output import SequencedReader
+
+    reader = SequencedReader(os.path.join(args.run_dir, args.base))
+    grid = make_grid(int(reader.read("grid/nx")),
+                     Lx=float(reader.read("grid/Lx")))
+    f0 = float(reader.read("params/f"))
+    Cg = float(np.sqrt(float(reader.read("params/Cg2"))))
+    Kd = f0 / Cg
+
+    psit_by_k, t = {}, None
+    for path in sorted(glob.glob(
+            os.path.join(args.omega_dir, "radial_data_k=*.h5"))):
+        ki = int(re.search(r"k=(\d+)", os.path.basename(path)).group(1))
+        with h5py.File(path, "r") as f:
+            if "psit" not in f:
+                continue
+            if t is None:
+                t = f["t"][()]
+            psit_by_k[ki] = f["psit"][()]
+    if not psit_by_k:
+        raise SystemExit(
+            f"no psit rows found in {args.omega_dir} — run omega-k with "
+            "--decompose first")
+    omegas, C = psi_correlation(psit_by_k, t, grid)
+    k, D11 = compute_D11(omegas, C, grid, f0, Kd,
+                         n_points=min(args.n_points, grid.nkr * 4))
+    b = fit_b(k, D11, Kd)
+    out_path = os.path.join(args.omega_dir, "b_parameter.h5")
+    with h5py.File(out_path, "w") as f:
+        f["k"] = k
+        f["D11"] = D11
+        f["b"] = b
+        f["Kd"] = Kd
+    print(f"b = {b:.6e} (Kd={Kd:.3f}, {len(psit_by_k)} k rows) -> {out_path}")
 
 
 def cmd_analyze(args):
@@ -998,6 +1055,15 @@ def main(argv=None):
                    help="comma-separated dataset names to assemble")
     p.add_argument("--out-dir", default="omega_k")
     p.set_defaults(fn=cmd_omega_k_plot)
+
+    p = sub.add_parser("b-parameter",
+                       help="ray-diffusivity b from omega-k psit rows "
+                            "(compute_b_parameter.jl)")
+    p.add_argument("run_dir")
+    p.add_argument("--base", default="rsw")
+    p.add_argument("--omega-dir", default="omega_k")
+    p.add_argument("--n-points", type=int, default=176)
+    p.set_defaults(fn=cmd_b_parameter)
 
     p = sub.add_parser("analyze", help="offline analysis suite over run dirs")
     p.add_argument("run_dir", nargs="+")

@@ -141,3 +141,23 @@ def test_live_dashboard_written(tmp_path):
     assert (tmp_path / "live.png").exists()
     html = (tmp_path / "live.html").read_text()
     assert "http-equiv=\"refresh\"" in html and "live.png" in html
+
+
+def test_b_parameter_chain(tmp_path):
+    """omega-k --decompose stores psit rows; b-parameter computes a finite
+    non-negative diffusivity estimate from them (compute_b_parameter.jl
+    chain)."""
+    run = tmp_path / "run"
+    run.mkdir()
+    main(["rsw", "--ag", "0.2", "--aw", "0.02", "--nx", "16",
+          "--spinup-T", "0.0", "--T", "0.08", "--output-dt", "0.01",
+          "--out-dir", str(run), "--sqrt-npackets", "2"])
+    ok = tmp_path / "ok"
+    main(["omega-k", str(run), "--out-dir", str(ok)])
+    main(["b-parameter", str(run), "--omega-dir", str(ok),
+          "--n-points", "16"])
+    with h5py.File(ok / "b_parameter.h5", "r") as f:
+        b = float(f["b"][()])
+        D11 = f["D11"][()]
+    assert np.isfinite(b) and b >= 0
+    assert np.isfinite(D11).all() and (D11 >= 0).all()
