@@ -791,6 +791,16 @@ def cmd_omega_k(args):
                     out[name] = clean_fft(t, d[..., ki - lo], w)
                 for name, Uf in u_ffts.items():
                     out[name] = Uf[..., ki - lo]
+                if args.stft_window:
+                    # sliding-window variant (ShortTimeFourierSWQG.jl:74-117)
+                    from ..analysis.omega_k import stft_omega_k
+
+                    for name, d in series.items():
+                        centers, st_om, spec = stft_omega_k(
+                            t, d[..., ki - lo], args.stft_window)
+                        out[f"stft/{name}"] = spec
+                    out["stft/centers"] = centers
+                    out["stft/omega"] = st_om
             nwritten += 1
     print(f"wrote {nwritten} per-k files -> {args.out_dir}")
 
@@ -1038,6 +1048,10 @@ def main(argv=None):
     p.add_argument("--mem-cap-gb", type=float, default=8.0,
                    help="stream the task's k range in sub-blocks sized so "
                         "collected time series fit this many GB")
+    p.add_argument("--stft-window", type=int, default=0,
+                   help="also store sliding-window STFT spectra of each "
+                        "row with this window length "
+                        "(ShortTimeFourierSWQG.jl)")
     p.add_argument("--fanout", type=int, default=0,
                    help="run the full analysis locally as N concurrent "
                         "omega-k task processes (replaces --task/--ntasks; "

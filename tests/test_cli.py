@@ -161,3 +161,20 @@ def test_b_parameter_chain(tmp_path):
         D11 = f["D11"][()]
     assert np.isfinite(b) and b >= 0
     assert np.isfinite(D11).all() and (D11 >= 0).all()
+
+
+def test_omega_k_stft_rows(tmp_path):
+    """--stft-window stores sliding-window spectra per k
+    (ShortTimeFourierSWQG.jl parity at CLI level)."""
+    run = tmp_path / "run"
+    run.mkdir()
+    main(["rsw", "--ag", "0.2", "--aw", "0.02", "--nx", "16",
+          "--spinup-T", "0.0", "--T", "0.12", "--output-dt", "0.01",
+          "--out-dir", str(run), "--sqrt-npackets", "2"])
+    ok = tmp_path / "ok"
+    main(["omega-k", str(run), "--out-dir", str(ok), "--stft-window", "6"])
+    with h5py.File(ok / "radial_data_k=002.h5", "r") as f:
+        spec = f["stft/c0"][()]
+        centers = f["stft/centers"][()]
+        assert spec.shape[0] == len(centers) and spec.shape[1] == 6
+        assert np.isfinite(spec).all()
