@@ -237,15 +237,17 @@ class TestRays:
             err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale[i]
             assert err < 5e-3, (i, err)
 
-    def test_patch_gather_gradients_match(self, rng):
+    @pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+    def test_patch_gather_gradients_match(self, rng, interp):
         """d(loss)/d(fields) must agree between patch and taps paths (the
-        row-gather transposes to a scatter-add)."""
+        row-gather transposes to a scatter-add; bicubic adds the per-block
+        Hermite weight chain)."""
         g = make_grid(32)
         psih = band_limited_psih(g, rng, amp=0.05)
-        fields = fields_from_psih(psih, g)
+        fields = fields_from_psih(psih, g, interp=interp)
         p = lattice_packets(3, g.Lx, g.Ly, k0=6.0)
         base = dict(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
-                    dx=g.dx, dy=g.dy)
+                    dx=g.dx, dy=g.dy, interp=interp)
 
         def loss(fl, gather):
             rp = RayParams(**base, gather=gather)
