@@ -279,6 +279,7 @@ def cmd_swqg(args):
 
 
 def cmd_twolayer(args):
+    from ..coupled.driver import derive_nu
     from ..coupled.initial_conditions import random_band_psih
     from ..models import twolayerqg
     from ..rays.packets import lattice_packets
@@ -302,11 +303,16 @@ def cmd_twolayer(args):
         mu = float(params.get("μ", mu))
         # adopt the file's dt and resume the clock at the stored t — the
         # reference chain does both (TwoLayerRaytracing.jl:168 reads
-        # clock/dt; the run continues the spun-up trajectory)
+        # clock/dt; the run continues the spun-up trajectory). nu is
+        # CFL-dt-derived in _setup, so re-derive it for the adopted dt.
         dt = args.dt = float(dt_file)
+        nu = derive_nu(args.nutune, args.nx, args.nnu, dt)
         args.clock_t0 = float(t0)
+        bfield = np.asarray(params.get("b", ()))
+        if bfield.size == 2 and bfield[0] != 0:
+            args.drho_rho0 = float((bfield[0] - bfield[1]) / bfield[0])
         print(f"IC file {args.ic_file}: t0={t0:.3f} U={U} mu={mu} "
-              f"dt={dt} (file values adopted)")
+              f"dt={dt} drho_rho0={args.drho_rho0} (file values adopted)")
         psih0 = jnp.asarray(psih_np)
         if psih0.shape != (2, grid.ny, grid.nkr):
             raise SystemExit(
@@ -485,8 +491,13 @@ def cmd_twolayer_simulation(args):
         args.out_dir,
         f"initial_condition_{grid.nx}x{grid.ny}_U={args.U:.2f}.h5",
     )
+    # params struct carries the run's ACTUAL configuration: equal-depth
+    # layers (the model's assumption), f-plane beta=0, and buoyancies
+    # whose contrast encodes drho_rho0 ((b1-b2)/b1, the GeophysicalFlows
+    # convention) — so the reference-style @unpack reads true values
     write_twolayer_ic(path, to_host(psih), dt=dt, t=float(clock.t),
-                      step=int(clock.step), f0=args.f,
+                      step=int(clock.step), f0=args.f, beta=0.0,
+                      b=(1.0, 1.0 - args.drho_rho0), H=(0.5, 0.5),
                       U=(args.U, -args.U), mu=args.mu)
     with h5py.File(path, "a") as f:
         # convenience keys consumed by utils.twolayer_helpers
@@ -643,7 +654,8 @@ def cmd_omega_k(args):
                     "omega-k", args.run_dir, "--base", args.base,
                     "--model", args.model, "--out-dir", args.out_dir,
                     "--ntasks", str(args.fanout),
-                    "--mem-cap-gb", str(args.mem_cap_gb)]
+                    "--mem-cap-gb", str(args.mem_cap_gb),
+                    "--stft-window", str(args.stft_window)]
         if not args.decompose:
             base_cmd.append("--no-decompose")
         rows = [{"task": i + 1} for i in range(args.fanout)]
@@ -674,9 +686,11 @@ def cmd_omega_k(args):
     if args.model == "ty":
         from ..models.thomasyamada import ty_bases
 
-        # full-grid eigenbases computed ONCE; sub-blocks slice them
+        # full-grid eigenbases computed ONCE; sub-blocks slice them.
+        # Row count for cap sizing: 6 series rows + 3 complex-U rows +
+        # ~3 rows of FFT/windowing temporaries
         ty_full = [np.asarray(b) for b in ty_bases(grid)]
-        n_vars = 6
+        n_vars = 12
     elif args.decompose:
         f0 = float(reader.read("params/f"))
         Cg2 = float(reader.read("params/Cg2"))
@@ -684,7 +698,7 @@ def cmd_omega_k(args):
         Cg = float(np.sqrt(Cg2))
         bases_full = [np.asarray(b)
                       for b in balanced_wave_bases(grid, params)]
-        n_vars = 3
+        n_vars = 5   # c0/cp/cm + psit + FFT temporary headroom
     else:
         shape = snapshot_shape(reader)
         n_vars = int(shape[0]) if shape else 3   # state channel count

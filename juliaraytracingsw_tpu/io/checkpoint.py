@@ -27,6 +27,14 @@ def _flatten_with_paths(tree):
     return leaves, treedef
 
 
+def _leaf_paths(tree) -> list[str]:
+    """Version-stable structural fingerprint: the key path of every leaf
+    (e.g. '.packets.x'), via the public tree_flatten_with_path API —
+    unlike repr(PyTreeDef), key-path strings survive jax upgrades."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return ["".join(str(k) for k in kp) for kp, _ in flat]
+
+
 def save_checkpoint(path: str, state_tree) -> None:
     """Serialize an arbitrary pytree of arrays to one .npz file."""
     from ..core.transfer import to_host
@@ -35,6 +43,9 @@ def save_checkpoint(path: str, state_tree) -> None:
     arrays = {f"leaf_{i}": to_host(leaf) for i, leaf in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8
+    )
+    arrays["__treepaths__"] = np.frombuffer(
+        "\n".join(_leaf_paths(state_tree)).encode(), dtype=np.uint8
     )
     np.savez(path, **arrays)
 
@@ -48,15 +59,25 @@ def load_checkpoint(path: str, like_tree):
     """
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like_tree)
-    if "__treedef__" in data:
+    mismatch = None
+    if "__treepaths__" in data:
+        # preferred: leaf key paths are stable across jax versions
+        stored = bytes(data["__treepaths__"]).decode()
+        current = "\n".join(_leaf_paths(like_tree))
+        if stored != current:
+            mismatch = (stored, current)
+    elif "__treedef__" in data:
+        # legacy checkpoints: repr comparison (same-version only)
         stored = bytes(data["__treedef__"]).decode()
         if stored != repr(treedef):
-            raise ValueError(
-                "checkpoint pytree structure does not match the running "
-                f"state:\n  stored:   {stored}\n  expected: {repr(treedef)}\n"
-                "(was the checkpoint written with a different driver "
-                "configuration — stepper, birth/death, packet layout?)"
-            )
+            mismatch = (stored, repr(treedef))
+    if mismatch is not None:
+        raise ValueError(
+            "checkpoint pytree structure does not match the running "
+            f"state:\n  stored:   {mismatch[0]}\n  expected: {mismatch[1]}\n"
+            "(was the checkpoint written with a different driver "
+            "configuration — stepper, birth/death, packet layout?)"
+        )
     n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
     if n_stored != len(leaves):
         raise ValueError(

@@ -141,11 +141,16 @@ def test_raytrace_tables_fused_gradient_flows_to_table():
 @pytest.mark.parametrize("interp", ["bilinear", "bspline", "bicubic"])
 def test_patch_impl_mxu_matches_split(interp, impl):
     """JRSW_PATCH_IMPL={mxu,pairsplit} (single-pass pair-row stage math)
-    reproduces the default split formulation through raytrace_tables."""
+    reproduces the 'split' oracle through raytrace_tables. The oracle is
+    selected EXPLICITLY (the default is pairsplit since round 3, so an
+    implicit reference would compare pairsplit with itself)."""
     rp, pk, T_pair = _setup(interp)
-    out_ref = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
-    os.environ["JRSW_PATCH_IMPL"] = impl
+    os.environ["JRSW_PATCH_IMPL"] = "split"
     try:
+        jax.clear_caches()
+        out_ref = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4,
+                                  "rk4")
+        os.environ["JRSW_PATCH_IMPL"] = impl
         jax.clear_caches()
         out = raytrace_tables(pk, T_pair, 0.0, 0.02, rp, NY, NX, 4, "rk4")
     finally:
