@@ -313,7 +313,11 @@ def cmd_twolayer(args):
             args.drho_rho0 = float((bfield[0] - bfield[1]) / bfield[0])
         print(f"IC file {args.ic_file}: t0={t0:.3f} U={U} mu={mu} "
               f"dt={dt} drho_rho0={args.drho_rho0} (file values adopted)")
-        psih0 = jnp.asarray(psih_np)
+        # complex h2d is UNIMPLEMENTED on this TPU runtime — route the
+        # loaded spectrum through the split-plane transfer helper
+        from ..core.transfer import to_device
+
+        psih0 = to_device(psih_np, jnp.complex64)
         if psih0.shape != (2, grid.ny, grid.nkr):
             raise SystemExit(
                 f"IC psih shape {psih0.shape} does not match grid "
@@ -471,9 +475,22 @@ def cmd_twolayer_simulation(args):
     nsteps = int(args.T / dt)
     chunk = max(nsteps // 10, 1)
     done = 0
+
+    # jit the chunk: an UNJITTED lax.scan eagerly device_puts its
+    # closed-over complex expm tables, and complex h2d is UNIMPLEMENTED
+    # on this TPU runtime (found by a real on-chip run; inside jit the
+    # constants embed in the executable instead)
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_chunk(sol, clock, state, k):
+        return run(step_fn, sol, clock, state, k)
+
     while done < nsteps:
         k = min(chunk, nsteps - done)
-        sol, clock, state = run(step_fn, sol, clock, state, k)
+        sol, clock, state = run_chunk(sol, clock, state, k=k)
         done += k
         ke = twolayerqg.kinetic_energy(sol, grid, model.params)
         print(f"t={float(clock.t):8.2f} KE=({float(ke[0]):.4g}, "
