@@ -96,6 +96,12 @@ def _phase(model, cfg: TYRunConfig, sol, clock, dt, nsteps, nsubs, writer,
         sol, clock, state = run(step_fn, sol, clock, state, nsubs)
         return enforce_reality(sol, grid), clock, state
 
+    # jitted so the complex numpy eigenbases embed as executable constants
+    # (eager complex h2d is UNIMPLEMENTED on this TPU runtime)
+    @jax.jit
+    def wave_geo_diag(sol):
+        return thomasyamada.wave_geostrophic_energy(sol, grid)
+
     frames = max(int(round(nsteps / nsubs)), 1)
     for j in range(frames):
         sol, clock, state = chunk(sol, clock, state)
@@ -105,7 +111,7 @@ def _phase(model, cfg: TYRunConfig, sol, clock, dt, nsteps, nsubs, writer,
                 f"TY {label}: NaN/Inf at t={float(clock.t):.3f}"
             )
         if j % cfg.diag_freq_frames == 0:
-            wave, geo = thomasyamada.wave_geostrophic_energy(sol, grid)
+            wave, geo = wave_geo_diag(sol)
             diags["t"].append(float(clock.t))
             diags["wave_ke"].append(float(wave[0]))
             diags["wave_pe"].append(float(wave[1]))

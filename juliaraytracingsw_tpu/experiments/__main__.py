@@ -2,17 +2,26 @@
 
 Subcommands mirror the reference entry points:
 
-    rsw                RSW turbulence (rsw/RSWMain.jl -> RSWDriver.start!)
-    rsw-raytracing     RSW + GPU-style packet ensemble
-                       (rsw/RSWRaytracingMain.jl -> RaytracingDriver)
-    swqg               SWQG turbulence (swqg/SWQGMain.jl)
-    swqg-raytracing    SWQG + packets (swqg/RaytracingDriver.jl)
-    twolayer           TwoLayerQG turbulence (swqg/TwoLayerDriver.jl)
-    twolayer-raytracing  TwoLayerQG + packets on the baroclinic flow
-                       (swqg/TwoLayerRaytracingDriver.jl)
+    rsw                RSW turbulence + packet ensemble, --model selects
+                       the {rsw,linborg,modified,quadheight} variant
+                       (rsw/RSWMain.jl, rsw/RSWRaytracingMain.jl ->
+                       RaytracingDriver)
+    swqg               SWQG turbulence + packets (swqg/SWQGMain.jl,
+                       swqg/RaytracingDriver.jl)
+    twolayer           TwoLayerQG + packets; --baroclinic selects the
+                       baroclinic advecting flow; --ic-file consumes
+                       simulation ICs (swqg/TwoLayerDriver.jl,
+                       TwoLayerRaytracingDriver.jl, raytracing/
+                       TwoLayerRaytracing.jl)
+    twolayer-simulation  spin-up runs writing IC files
+                       (simulation/TwoLayerSimulation.jl)
+    single-wave        enveloped single-wave injection experiment
+                       (rsw/SingleWaveRSWRaytracingDriver.jl)
     thomasyamada       Thomas-Yamada run (thomasyamada/TYdriver.jl)
     steady-raytracing  packets through a frozen snapshot
                        (raytracing/SteadyRaytracing.jl)
+    sweep / omega-k / omega-k-plot / b-parameter / analyze
+                       orchestration + offline analysis
 
 Common flow per run: derive dt from CFL tune, derive hyperviscosity, build
 model + driver, spinup, coupled frames with rolling outputs + diagnostics.
