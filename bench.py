@@ -63,7 +63,7 @@ def main():
     from juliaraytracingsw_tpu.coupled.initial_conditions import band_geo_wave_ic
     from juliaraytracingsw_tpu.models import rsw
     from juliaraytracingsw_tpu.models.base import build_stepper, run
-    from juliaraytracingsw_tpu.rays.packets import Packets, lattice_packets
+    from juliaraytracingsw_tpu.rays.packets import lattice_packets
     from juliaraytracingsw_tpu.rays.raytrace import RayParams, fields_from_psih
 
     dev = jax.devices()[0]

@@ -14,7 +14,7 @@ blocks can still be farmed out across processes for cluster-scale runs.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 

@@ -21,8 +21,8 @@ steps and ray integration alike.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
+
 from typing import Callable, NamedTuple
 
 import jax

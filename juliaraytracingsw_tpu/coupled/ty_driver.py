@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.spectral import enforce_reality
-from ..core.steppers import Clock, zero_clock
+from ..core.steppers import zero_clock
 from ..core.transfer import to_host
 from ..io.output import SequencedWriter, save_problem
 from ..models import thomasyamada

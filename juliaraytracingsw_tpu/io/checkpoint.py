@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 
 __all__ = ["save_checkpoint", "load_checkpoint"]
 
