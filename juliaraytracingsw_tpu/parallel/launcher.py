@@ -79,7 +79,15 @@ def resolve_cluster(env: dict | None = None) -> ClusterSpec:
             source="explicit",
         )
     if "TPU_WORKER_HOSTNAMES" in env or "CLOUD_TPU_TASK_ID" in env:
-        # Cloud TPU pod: jax.distributed.initialize() self-configures.
+        # Cloud TPU pod: jax.distributed.initialize() self-configures —
+        # but only for MULTI-host slices. A single-entry hostname list
+        # (e.g. this image's tunnel runtime sets
+        # TPU_WORKER_HOSTNAMES=localhost) is single-process; zero-arg
+        # initialize() would fail there for lack of a coordinator.
+        hosts = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                 if h]
+        if len(hosts) <= 1 and "CLOUD_TPU_TASK_ID" not in env:
+            return ClusterSpec(None, 1, 0, source="single")
         return ClusterSpec(None, -1, -1, source="tpu-auto")
     if "SLURM_PROCID" in env and int(env.get("SLURM_NTASKS", "1")) > 1:
         nodelist = env.get("SLURM_STEP_NODELIST",

@@ -131,3 +131,20 @@ def test_cli_sweep_picks_array_row(tmp_path, monkeypatch):
     rows = load_sweep_table(str(table))
     sel = sweep_row_from_env(rows, env)
     assert sel["ag"] == "1.5"
+
+
+def test_resolve_single_host_tpu_is_single():
+    """A single-entry TPU_WORKER_HOSTNAMES (e.g. the dev tunnel's
+    'localhost') must resolve to single-process — zero-arg
+    jax.distributed.initialize() has no coordinator there and would raise
+    (found by running --distributed on the real chip)."""
+    spec = resolve_cluster({"TPU_WORKER_HOSTNAMES": "localhost"})
+    assert spec.source == "single" and spec.num_processes == 1
+
+
+def test_resolve_multi_host_tpu_is_auto():
+    spec = resolve_cluster({"TPU_WORKER_HOSTNAMES": "host0,host1,host2"})
+    assert spec.source == "tpu-auto"
+    spec = resolve_cluster({"CLOUD_TPU_TASK_ID": "3",
+                            "TPU_WORKER_HOSTNAMES": "localhost"})
+    assert spec.source == "tpu-auto"
