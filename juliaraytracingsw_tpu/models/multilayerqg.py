@@ -161,12 +161,15 @@ def make_model(
 
 
 def streamfunction_from_pv(qh, grid, params: MultiLayerParams):
-    Sinv = _sinv(grid, params).astype(np.complex64)
+    # the inverse stretching matrix is REAL — keep it float32 so eager
+    # calls only transfer real host data (complex h2d is UNIMPLEMENTED on
+    # this TPU runtime; promotion to complex happens on device)
+    Sinv = _sinv(grid, params).astype(np.float32)
     return jnp.einsum("ab...,b...->a...", Sinv, qh)
 
 
 def pv_from_streamfunction(psih, grid, params: MultiLayerParams):
-    A = _stretching_matrix(params).astype(np.complex64)
+    A = _stretching_matrix(params).astype(np.float32)   # real, see above
     return -grid.Krsq * psih + jnp.einsum("ab,b...->a...", A, psih)
 
 
