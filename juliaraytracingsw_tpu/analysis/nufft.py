@@ -40,6 +40,10 @@ def nufft2d2(fh, xq, yq, grid):
     phase_x = jnp.exp(1j * jnp.outer(kr, xq - grid.x[0]))    # (nkr, N)
     phase_y = jnp.exp(1j * jnp.outer(ell, yq - grid.y[0]))   # (nl, N)
 
-    g = jnp.einsum("...lk,kn->...ln", fh * w, phase_x.astype(fh.dtype))
-    f = jnp.einsum("...ln,ln->...n", g, phase_y.astype(fh.dtype))
+    # precision=HIGHEST: these contractions lower to MXU matmuls, whose
+    # TPU default is bf16 passes — unacceptable for the exact-NUFFT claim
+    g = jnp.einsum("...lk,kn->...ln", fh * w, phase_x.astype(fh.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    f = jnp.einsum("...ln,ln->...n", g, phase_y.astype(fh.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.real(f) / (grid.nx * grid.ny)

@@ -864,15 +864,17 @@ def cmd_omega_k_plot(args):
     names = tuple(args.names.split(","))
     omega, radii, power = assemble_radial_omega_k(
         args.omega_dir, grid, names=names)
-    # inertia-gravity dispersion overlay omega = sqrt(f^2 + Cg^2 K^2)
-    # (the reference's plots draw it over C+/C-, MakeOmegaKPlots.jl)
+    # inertia-gravity dispersion overlay omega = sqrt(f^2 + Cg^2 K^2),
+    # drawn on the WAVE classes only (cp/cm/U_wave — the geostrophic
+    # branch lives at omega~0; MakeOmegaKPlots.jl draws it over C+/C-)
     dispersion = None
     try:
         f0 = float(reader.read("params/f"))
         Cg2 = float(reader.read("params/Cg2"))
         dispersion = lambda K: np.sqrt(f0 * f0 + Cg2 * K * K)
-    except Exception:
-        pass
+    except KeyError:
+        pass   # non-RSW run layouts carry no f/Cg2 params
+    wave_classes = {"cp", "cm", "U_wave"}
     os.makedirs(args.out_dir, exist_ok=True)
     out_path = os.path.join(args.out_dir, "omega_k_radial.h5")
     with h5py.File(out_path, "w") as f:
@@ -881,9 +883,10 @@ def cmd_omega_k_plot(args):
         for name, p in power.items():
             f[name] = p
     for name, p in power.items():
-        plot_omega_k_heatmap(omega, radii, p, args.out_dir,
-                             name=f"omega_k_{name}.png",
-                             title=f"{name} power", dispersion=dispersion)
+        plot_omega_k_heatmap(
+            omega, radii, p, args.out_dir, name=f"omega_k_{name}.png",
+            title=f"{name} power",
+            dispersion=dispersion if name in wave_classes else None)
     print(f"assembled {len(power)} classes -> {out_path}")
 
 

@@ -141,7 +141,8 @@ def make_model(
     L = build_L(grid, params, Sinv)
 
     def psi_from_q(qh):
-        return jnp.einsum("ab...,b...->a...", Sinv_j, qh)
+        return jnp.einsum("ab...,b...->a...", Sinv_j, qh,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def calcN(solh, t):
         qh = grid.dealias(solh)
@@ -163,14 +164,19 @@ def make_model(
 def streamfunction_from_pv(qh, grid, params: MultiLayerParams):
     # the inverse stretching matrix is REAL — keep it float32 so eager
     # calls only transfer real host data (complex h2d is UNIMPLEMENTED on
-    # this TPU runtime; promotion to complex happens on device)
+    # this TPU runtime; promotion to complex happens on device).
+    # precision=HIGHEST: einsums that lower to MXU matmuls on TPU default
+    # to bf16 passes (~1e-2 relative error on O(1) coefficients, measured);
+    # these tiny n x n channel contractions cost nothing at full precision.
     Sinv = _sinv(grid, params).astype(np.float32)
-    return jnp.einsum("ab...,b...->a...", Sinv, qh)
+    return jnp.einsum("ab...,b...->a...", Sinv, qh,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def pv_from_streamfunction(psih, grid, params: MultiLayerParams):
     A = _stretching_matrix(params).astype(np.float32)   # real, see above
-    return -grid.Krsq * psih + jnp.einsum("ab,b...->a...", A, psih)
+    return -grid.Krsq * psih + jnp.einsum(
+        "ab,b...->a...", A, psih, precision=jax.lax.Precision.HIGHEST)
 
 
 def kinetic_energy(qh, grid, params: MultiLayerParams):

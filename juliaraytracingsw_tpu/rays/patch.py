@@ -256,7 +256,10 @@ def patch_interpolate_pair(rows_pair, local_x, local_y, a,
         M = _selector(ph, pw, F, rows_pair.dtype)              # (W, F)
     w_t2 = jnp.concatenate([w_t, w_t], axis=1)             # (N, 2W)
     Mb = jnp.concatenate([(1.0 - a) * M, a * M], axis=0)   # (2W, F)
-    return ((rows_pair * w_t2) @ Mb).T                     # (F, N)
+    # full-precision matmul: the TPU MXU default is bf16 passes, which
+    # would silently round the interpolated fields (~2^-8 relative)
+    return jnp.dot(rows_pair * w_t2, Mb,
+                   precision=jax.lax.Precision.HIGHEST).T  # (F, N)
 
 
 @partial(jax.jit, static_argnames=("method", "deriv_scale"))
