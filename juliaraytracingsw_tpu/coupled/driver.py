@@ -43,6 +43,7 @@ from ..rays.raytrace import (
     raytrace,
     raytrace_adaptive,
     raytrace_tables,
+    raytrace_tables_fb,
     sample_gradients,
     sample_velocity,
 )
@@ -174,8 +175,12 @@ def make_coupled_frame(
                 packets, fields_old, fields_new, t0, clock.t, rp, **ray_opts,
             )
         elif use_patch:
-            packets = raytrace_tables(
-                packets, T_pair, t0, clock.t, rp,
+            # fb variant: same fast forward, but the backward interpolates
+            # directly from the field stacks (taps formulation) instead of
+            # transposing the table build — the production gradient path
+            # (rays/raytrace.raytrace_tables_fb, JRSW_PATCH_BWD)
+            packets = raytrace_tables_fb(
+                packets, T_pair, fields_old, fields_new, t0, clock.t, rp,
                 ny, nx, nsubsteps=ray_substeps, method=ray_method,
             )
         else:

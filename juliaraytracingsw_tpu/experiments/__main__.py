@@ -308,6 +308,14 @@ def cmd_twolayer(args):
 
         psih_np, t0, params, dt_file = load_twolayer_ic(args.ic_file)
         Uf = np.asarray(params.get("U", U))
+        if Uf.ndim and Uf.size == 2 and not np.isclose(Uf[0], -Uf[1]):
+            # the equal-depth TwoLayerQG model assumes layer velocities
+            # (+U, -U); a genuine asymmetric reference U vector would be
+            # silently misconfigured by the max|U| collapse
+            print(f"WARNING: IC file stores asymmetric layer velocities "
+                  f"U={Uf.tolist()}; this model supports only (+U, -U) and "
+                  f"adopts max|U| — results will differ from the reference",
+                  file=sys.stderr)
         U = float(np.max(np.abs(Uf))) if Uf.ndim else float(Uf)
         mu = float(params.get("μ", mu))
         # adopt the file's dt and resume the clock at the stored t — the
@@ -680,7 +688,9 @@ def cmd_omega_k(args):
                     "omega-k", args.run_dir, "--base", args.base,
                     "--model", args.model, "--out-dir", args.out_dir,
                     "--ntasks", str(args.fanout),
-                    "--mem-cap-gb", str(args.mem_cap_gb),
+                    # --mem-cap-gb reads as a TOTAL cap: each child sizes its
+                    # sub-blocks to cap/N so N concurrent children stay under it
+                    "--mem-cap-gb", str(args.mem_cap_gb / args.fanout),
                     "--stft-window", str(args.stft_window)]
         if not args.decompose:
             base_cmd.append("--no-decompose")

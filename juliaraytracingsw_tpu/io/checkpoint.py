@@ -91,7 +91,10 @@ def load_checkpoint(path: str, like_tree):
         # device leaf to host, and complex d2h is UNIMPLEMENTED on this
         # TPU runtime (found by a real on-chip restore; core/transfer.py)
         ref_shape = tuple(np.shape(ref))
-        ref_dtype = np.dtype(getattr(ref, "dtype", np.float64))
+        # plain Python scalar leaves have no .dtype; np.result_type infers
+        # int/float correctly (a float64 fallback would silently retype ints)
+        ref_dtype = (np.dtype(ref.dtype) if hasattr(ref, "dtype")
+                     else np.result_type(ref))
         if tuple(arr.shape) != ref_shape:
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected {ref_shape}"

@@ -110,9 +110,12 @@ def build_pair_table_direct(fields_old, fields_new, method: str = "bilinear",
     X = jnp.concatenate([fields_old, fields_new]).astype(jnp.dtype(dtype))
     Xp = jnp.pad(X, ((0, 0), (lo, ph - 1 - lo), (lo, pw - 1 - lo)),
                  mode="wrap")[None]
+    # full precision: the patch-extraction conv has a 0/1 kernel, but the TPU
+    # MXU default is bf16 passes which would silently round f32 tables
     P = jax.lax.conv_general_dilated_patches(
         Xp, (ph, pw), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NHWC"))
+        dimension_numbers=("NCHW", "OIHW", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     return P.reshape(ny * nx, 2 * F * ph * pw)
 
 

@@ -61,6 +61,8 @@ __all__ = [
     "fields_from_velocity_spectra",
     "raytrace",
     "raytrace_adaptive",
+    "raytrace_tables",
+    "raytrace_tables_fb",
     "sample_velocity",
     "sample_gradients",
 ]
@@ -469,6 +471,107 @@ def _fused_impl(rp: RayParams, method: str) -> str | None:
     return mode  # 'auto' resolves inside make_fused_substep
 
 
+def _raytrace_taps(packets, fields_old, fields_new, t0, t1, rp: RayParams,
+                   nsubsteps: int, method: str):
+    """Reference-semantics path: one global tap-gather per stage from the
+    time-blended field stacks (the correctness oracle; also the backward
+    formulation of the fast path, see raytrace_tables_fb)."""
+    h = (t1 - t0) / nsubsteps
+    da = 1.0 / nsubsteps
+    sample = _make_taps_sampler(fields_old, fields_new, rp)
+
+    def body(p, i):
+        return _step(p, sample, i * da, da, h, rp, method), None
+
+    packets, _ = jax.lax.scan(
+        body, packets, jnp.arange(nsubsteps, dtype=fields_old.dtype)
+    )
+    return packets
+
+
+def _patch_bwd_impl() -> str:
+    """Backward formulation for the patch fast path, JRSW_PATCH_BWD (read at
+    trace time): 'taps' (default) routes the backward through a taps-style
+    re-interpolation directly from the field stacks via a custom VJP —
+    measured cheaper than transposing the table build (the table transpose
+    is a 1M-row scatter-add into the (ny*nx, 2W) table plus ph*pw
+    field-sized roll transposes per step; VERDICT r3 item 5); 'table' keeps
+    the plain AD transpose of the gather+build."""
+    import os
+
+    return os.environ.get("JRSW_PATCH_BWD", "taps")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _raytrace_patch_fb(rp, ny, nx, nsubsteps, method,
+                       packets, T_pair, fields_old, fields_new, t0, t1):
+    """Patch-table forward with a taps-formulation backward.
+
+    Primal: identical to raytrace_tables (one row-gather per substep, local
+    VPU stage math). Backward: linearize the mathematically-identical taps
+    path at the same inputs — interpolating gradients directly from the
+    field stacks instead of transposing the table build + row gather. All
+    cotangent flows through (packets, fields_old, fields_new, t0, t1);
+    T_pair (a deterministic function of the fields) gets zero cotangent so
+    nothing is double-counted. Validity bound: patch and taps differ only
+    by FP association and the patch clamp for packets drifting >1 cell per
+    substep (CFL-guarded); gradient agreement is pinned by
+    tests/test_gradients.py."""
+    return _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
+                                 nsubsteps, method)
+
+
+def _raytrace_patch_fb_fwd(rp, ny, nx, nsubsteps, method,
+                           packets, T_pair, fields_old, fields_new, t0, t1):
+    out = _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
+                                nsubsteps, method)
+    return out, (packets, fields_old, fields_new, t0, t1)
+
+
+def _raytrace_patch_fb_bwd(rp, ny, nx, nsubsteps, method, res, ct):
+    packets, fields_old, fields_new, t0, t1 = res
+    _, vjp = jax.vjp(
+        lambda p, fo, fn, a, b: _raytrace_taps(p, fo, fn, a, b, rp,
+                                               nsubsteps, method),
+        packets, fields_old, fields_new, t0, t1,
+    )
+    d_p, d_fo, d_fn, d_t0, d_t1 = vjp(ct)
+    # zero cotangent for the (derived) pair table, reconstructed by shape
+    ph, pw, _ = PATCH_SHAPES[rp.interp]
+    W = fields_old.shape[0] * ph * pw
+    d_T = jnp.zeros((ny * nx, 2 * W), jnp.dtype(rp.table_dtype))
+    return d_p, d_T, d_fo, d_fn, d_t0, d_t1
+
+
+_raytrace_patch_fb.defvjp(_raytrace_patch_fb_fwd, _raytrace_patch_fb_bwd)
+
+
+@partial(jax.jit, static_argnames=("nsubsteps", "method", "rp", "ny", "nx"))
+def raytrace_tables_fb(
+    packets: Packets,
+    T_pair,
+    fields_old,
+    fields_new,
+    t0,
+    t1,
+    rp: RayParams,
+    ny: int,
+    nx: int,
+    nsubsteps: int = 1,
+    method: str = "rk4",
+) -> Packets:
+    """raytrace_tables with the production backward: same fast forward, but
+    gradients interpolate directly from the field stacks (taps formulation)
+    instead of transposing the table build (JRSW_PATCH_BWD=taps, default;
+    =table restores the plain AD transpose). Use when the (old, new) field
+    stacks are at hand — the coupled frame always has them."""
+    if _patch_bwd_impl() == "table":
+        return _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
+                                     nsubsteps, method)
+    return _raytrace_patch_fb(rp, ny, nx, nsubsteps, method,
+                              packets, T_pair, fields_old, fields_new, t0, t1)
+
+
 @partial(jax.jit, static_argnames=("nsubsteps", "method", "rp", "ny", "nx"))
 def raytrace_tables(
     packets: Packets,
@@ -492,6 +595,26 @@ def raytrace_tables(
     rows from HBM once per stage x time level. JRSW_FUSED=off restores the
     per-stage path; non-TPU backends use the kernel's jnp twin (identical
     formulas, pinned by tests)."""
+    return _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
+                                 nsubsteps, method)
+
+
+def _ray_chunk() -> int:
+    """Packet-chunked stage math, JRSW_RAY_CHUNK (read at trace time):
+    0 (default) runs each substep over the whole packet batch — the gathered
+    (N, 2W) rows are then an HBM-resident intermediate that every RK stage
+    re-reads (8 row passes per RK4 substep at 2 time levels). A chunk size
+    c > 0 wraps the substep in ``lax.map`` over N/c packet chunks so each
+    chunk's rows (c x 2W) can stay VMEM-resident across the fused stage
+    chain (VERDICT r3 item 4: the XLA-only lever against the stage-math HBM
+    re-reads; measured in benchmarks/profiling/prof_r4_chunk.py)."""
+    import os
+
+    return int(os.environ.get("JRSW_RAY_CHUNK", "0"))
+
+
+def _raytrace_tables_impl(packets, T_pair, t0, t1, rp: RayParams,
+                          ny: int, nx: int, nsubsteps: int, method: str):
     h = (t1 - t0) / nsubsteps
     da = 1.0 / nsubsteps
     impl = _fused_impl(rp, method)
@@ -516,10 +639,28 @@ def raytrace_tables(
             out = fused(rows_T, st, jnp.stack([a0, h]))
             return Packets(out[0], out[1], out[2], out[3], p.sign), None
     else:
-        def body(p, i):
-            a0 = i * da
-            sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
-            return _step(p, sample, a0, da, h, rp, method), None
+        csize = _ray_chunk()
+        n = packets.x.shape[0]
+        if csize and n > csize and n % csize == 0:
+            nchunks = n // csize
+
+            def body(p, i):
+                a0 = i * da
+
+                def one_chunk(pc):
+                    sample = _make_patch_sampler(T_pair, pc, rp, ny, nx)
+                    return _step(pc, sample, a0, da, h, rp, method)
+
+                pr = jax.tree_util.tree_map(
+                    lambda a: a.reshape(nchunks, csize), p)
+                out = jax.lax.map(one_chunk, pr)
+                return jax.tree_util.tree_map(
+                    lambda a: a.reshape(-1), out), None
+        else:
+            def body(p, i):
+                a0 = i * da
+                sample = _make_patch_sampler(T_pair, p, rp, ny, nx)
+                return _step(p, sample, a0, da, h, rp, method), None
 
     packets, _ = jax.lax.scan(
         body, packets, jnp.arange(nsubsteps, dtype=packets.x.dtype)
@@ -547,21 +688,10 @@ def raytrace(
     _, ny, nx = fields_old.shape
     if _use_patch(rp):
         T_pair = build_pair(fields_old, fields_new, rp)
-        return raytrace_tables(packets, T_pair,
-                               t0, t1, rp, ny, nx, nsubsteps, method)
-
-    h = (t1 - t0) / nsubsteps
-    da = 1.0 / nsubsteps
-    sample = _make_taps_sampler(fields_old, fields_new, rp)
-
-    def body(p, i):
-        a0 = i * da
-        return _step(p, sample, a0, da, h, rp, method), None
-
-    packets, _ = jax.lax.scan(
-        body, packets, jnp.arange(nsubsteps, dtype=fields_old.dtype)
-    )
-    return packets
+        return raytrace_tables_fb(packets, T_pair, fields_old, fields_new,
+                                  t0, t1, rp, ny, nx, nsubsteps, method)
+    return _raytrace_taps(packets, fields_old, fields_new, t0, t1, rp,
+                          nsubsteps, method)
 
 
 def _select_channels(fields, sel, interp):
@@ -574,7 +704,7 @@ def _select_channels(fields, sel, interp):
     return fields[jnp.asarray(sel)]
 
 
-@partial(jax.jit, static_argnames=("rp", "max_steps", "pair"))
+@partial(jax.jit, static_argnames=("rp", "max_steps", "pair", "loop"))
 def raytrace_adaptive(
     packets: Packets,
     fields_old,
@@ -587,6 +717,7 @@ def raytrace_adaptive(
     max_steps: int = 64,
     init_substeps: int = 4,
     pair: str = "dopri5",
+    loop: str = "scan",
 ):
     """Adaptive embedded ray integration: Dormand-Prince 5(4) (default) or
     Fehlberg 7(8) (``pair='rkf78'``, 13 stages — the accuracy class of the
@@ -604,6 +735,12 @@ def raytrace_adaptive(
     Returns ``(packets, info)`` where info = dict(t_reached, h_final,
     n_accepted, n_rejected); ``t_reached < t1`` means max_steps was too
     small for the tolerance.
+
+    ``loop='while'`` replaces the fixed-length scan with a
+    ``lax.while_loop`` that exits as soon as the shared clock reaches t1 —
+    finished attempt slots cost nothing instead of running max_steps no-op
+    attempts. Forward-only (while_loop is not reverse-differentiable):
+    production throughput mode; keep ``loop='scan'`` under ``jax.grad``.
     """
     _, ny, nx = fields_old.shape
     span = t1 - t0
@@ -682,9 +819,23 @@ def raytrace_adaptive(
               jnp.asarray(True))
     else:
         g0 = ()
-    (p, t, h, nacc, nrej, _), _ = jax.lax.scan(
-        body, (packets, t0_, h0, zero, zero, g0), None, length=max_steps
-    )
+    carry0 = (packets, t0_, h0, zero, zero, g0)
+    if loop == "while":
+        def cond(state):
+            carry, slots = state
+            return jnp.logical_and(carry[1] < t1 - eps, slots < max_steps)
+
+        def wbody(state):
+            carry, slots = state
+            carry, _ = body(carry, None)
+            return carry, slots + 1
+
+        (p, t, h, nacc, nrej, _), _ = jax.lax.while_loop(
+            cond, wbody, (carry0, jnp.int32(0)))
+    else:
+        (p, t, h, nacc, nrej, _), _ = jax.lax.scan(
+            body, carry0, None, length=max_steps
+        )
     return p, dict(t_reached=t, h_final=h, n_accepted=nacc, n_rejected=nrej)
 
 

@@ -247,3 +247,33 @@ class TestShearFlowOracle:
         np.testing.assert_allclose(float(out.x[0]), xT, atol=3e-4)
         np.testing.assert_allclose(float(out.y[0]), yT, atol=3e-4)
         np.testing.assert_allclose(float(out.l[0]), lT, atol=3e-3)
+
+
+def test_while_loop_matches_scan():
+    """loop='while' (forward-only early-exit mode) must reproduce the scan
+    trajectories and step counts exactly."""
+    from juliaraytracingsw_tpu.coupled.initial_conditions import random_band_psih
+    from juliaraytracingsw_tpu.core.grid import make_grid
+    from juliaraytracingsw_tpu.rays.packets import lattice_packets
+    from juliaraytracingsw_tpu.rays.raytrace import (
+        RayParams, fields_from_psih, raytrace_adaptive)
+
+    g = make_grid(32)
+    psih = random_band_psih(g, np.random.default_rng(2), amp=0.05)
+    fo = fields_from_psih(psih, g)
+    fn = fields_from_psih(
+        random_band_psih(g, np.random.default_rng(3), amp=0.05), g)
+    rp = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                   dx=g.dx, dy=g.dy)
+    pk = lattice_packets(6, g.Lx, g.Ly, k0=6.0, k_ring=True)
+    ps, info_s = raytrace_adaptive(pk, fo, fn, 0.0, 5e-2, rp,
+                                   rtol=1e-6, atol=1e-8, max_steps=32)
+    pw, info_w = raytrace_adaptive(pk, fo, fn, 0.0, 5e-2, rp,
+                                   rtol=1e-6, atol=1e-8, max_steps=32,
+                                   loop="while")
+    for a, b in zip(ps[:4], pw[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    assert int(info_s["n_accepted"]) == int(info_w["n_accepted"])
+    assert int(info_s["n_rejected"]) == int(info_w["n_rejected"])
+    assert float(info_w["t_reached"]) >= 5e-2 * (1 - 1e-6)

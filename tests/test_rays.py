@@ -357,3 +357,33 @@ class TestResample:
         assert total_born > 0
         # reborn packets stay inside the domain
         assert float(jnp.max(jnp.abs(p.x))) <= np.pi + 1e-5
+
+
+def test_chunked_stage_math_matches(monkeypatch):
+    from juliaraytracingsw_tpu.coupled.initial_conditions import random_band_psih
+    """JRSW_RAY_CHUNK wraps the substep in lax.map over packet chunks
+    (the XLA-only HBM-re-read lever, VERDICT r3 item 4) — trajectories must
+    be identical to the unchunked path."""
+    import jax
+
+    g = make_grid(32)
+    rng = np.random.default_rng(5)
+    psih = random_band_psih(g, rng, amp=0.05)
+    fields_old = fields_from_psih(psih, g)
+    fields_new = fields_from_psih(
+        random_band_psih(g, np.random.default_rng(6), amp=0.05), g)
+    rp = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                   dx=g.dx, dy=g.dy)
+    pk = lattice_packets(8, g.Lx, g.Ly, k0=6.0, k_ring=True)
+    base = raytrace(pk, fields_old, fields_new, 0.0, 1e-2, rp, nsubsteps=3)
+    monkeypatch.setenv("JRSW_RAY_CHUNK", "16")
+    jax.clear_caches()
+    try:
+        chunked = raytrace(pk, fields_old, fields_new, 0.0, 1e-2, rp,
+                           nsubsteps=3)
+    finally:
+        monkeypatch.delenv("JRSW_RAY_CHUNK")
+        jax.clear_caches()
+    for a, b in zip(base[:4], chunked[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
