@@ -10,17 +10,32 @@ coupled ray packets"). The reference publishes no numbers
 vs_baseline is the ratio to the best recorded hero number in
 BENCH_SELF.json.
 
+The production hero uses bfloat16 pair tables (VERDICT r3 item 2): the
+gathered rows upcast to f32 before any stage math, so the only error is
+~2^-8 relative rounding of the stored field values — the same class of
+storage quantisation as the reference's 9-bit texture-weight fixed point
+(raytracing/GPURaytracing.jl:118-127) — and the trajectory divergence is
+bounded by tests/test_rays.py::test_bf16_table_trajectory_divergence plus
+the production-horizon measurement in docs/PERFORMANCE.md. A full-f32 row
+(hero_f32) is always recorded alongside.
+
 TIMING METHODOLOGY: the tunneled TPU runtime caches results of repeated
 identical calls, so every timed call mixes a fresh tiny scalar into its
 inputs (see benchmarks/profiling/prof_true.py); big arrays stay
-device-resident across calls. A >20% hero drop against BENCH_SELF.json is
-reported as a regression warning on stderr (VERDICT round-1 item 10).
+device-resident across calls. Every metric is the MIN over N>=2 trials of
+an iters-call average, and the trial spread (max-min)/min is recorded as
+<tag>_spread — >10% flags a noisy shared host (VERDICT r3 item 6). A >20%
+hero drop against BENCH_SELF.json is reported as a regression warning on
+stderr.
 
-Extra metrics (flow-only steps/s at 512^2 and 1024^2, bspline hero, 262k
-ensemble, fwd+bwd step time) go to stderr and BENCH_SELF.json.
+Extra metrics (flow-only steps/s at 512^2 and 1024^2, f32/bspline heroes,
+262k ensemble, 1024^2 coupled hero, birth/death hero, adaptive hero with
+accept/reject counts, fwd+bwd step time, 100-step backward) go to stderr
+and BENCH_SELF.json.
 """
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -29,23 +44,28 @@ import time
 import numpy as np
 
 SELF_BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BENCH_SELF.json")
+_COUNTER = itertools.count()
 
 
-def _timeit_unique(make_call, warmup=2, iters=4):
+def _timeit_unique(make_call, warmup=2, iters=3, trials=3):
     """make_call(c) runs the computation with scalar c mixed in; times the
-    steady state with a fresh c per call (defeats the tunnel result cache)."""
+    steady state with a fresh c per call (defeats the tunnel result cache).
+    Returns (min-of-trials mean seconds, relative spread across trials)."""
     import jax
 
-    cs = list(range(warmup + iters))
     out = None
-    for i in range(warmup):
-        out = make_call(cs[i])
+    for _ in range(warmup):
+        out = make_call(next(_COUNTER))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = make_call(cs[warmup + i])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = make_call(next(_COUNTER))
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    tmin = min(times)
+    return tmin, (max(times) - tmin) / tmin
 
 
 def main():
@@ -65,6 +85,7 @@ def main():
     from juliaraytracingsw_tpu.models.base import build_stepper, run
     from juliaraytracingsw_tpu.rays.packets import lattice_packets
     from juliaraytracingsw_tpu.rays.raytrace import RayParams, fields_from_psih
+    from juliaraytracingsw_tpu.rays.resample import init_birth_death
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -72,11 +93,19 @@ def main():
     f, Cg, dt = 3.0, 1.0, 1e-3
     results = {}
 
+    def record(tag, value, spread, desc):
+        results[tag] = value
+        results[f"{tag}_spread"] = round(spread, 4)
+        noisy = "  [NOISY HOST >10% spread]" if spread > 0.10 else ""
+        print(f"# {desc} (spread {spread * 100:.1f}%){noisy}", file=sys.stderr)
+
     # --- flow-only spectral steps/s at 512^2 and 1024^2 ---------------------
+    grids, models = {}, {}
     for nx in (512, 1024):
         grid = make_grid(nx)
         model = rsw.make_model(grid, nu=derive_nu(1.0, nx, 4, dt), nnu=4,
                                f=f, Cg=Cg)
+        grids[nx], models[nx] = grid, model
         init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
         rng = np.random.default_rng(1)
         sol = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
@@ -90,62 +119,100 @@ def main():
             sol = sol * (1.0 + 1e-12 * c)
             return run(step_fn, sol, clock, state, steps_per_call)
 
-        t = _timeit_unique(
-            lambda c: chunk(sol, clock, state, jnp.float32(c)))
-        results[f"rsw{nx}_flow_steps_per_s"] = steps_per_call / t
-        print(f"# rsw {nx}^2 flow: {steps_per_call / t:.1f} steps/s",
-              file=sys.stderr)
+        t, sp = _timeit_unique(
+            lambda c: chunk(sol, clock, state, jnp.float32(c)), iters=4)
+        record(f"rsw{nx}_flow_steps_per_s", steps_per_call / t, sp,
+               f"rsw {nx}^2 flow: {steps_per_call / t:.1f} steps/s")
 
-    # --- hero: 512^2 RSW + packets coupled ----------------------------------
-    nx = 512
-    grid = make_grid(nx)
-    model = rsw.make_model(grid, nu=derive_nu(1.0, nx, 4, dt), nnu=4,
-                           f=f, Cg=Cg)
-    init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
-    params = model.params
+    # --- hero family: RSW + packets coupled ---------------------------------
+    def psih_maker(grid, params):
+        def psih_fn(sol):
+            Kd2 = params.f**2 / params.Cg2
+            qh = grid.ik * sol[1] - grid.il * sol[0] - params.f * sol[2]
+            return -qh / (grid.Krsq + Kd2)
+        return psih_fn
 
-    def psih_fn(sol):
-        Kd2 = params.f**2 / params.Cg2
-        qh = grid.ik * sol[1] - grid.il * sol[0] - params.f * sol[2]
-        return -qh / (grid.Krsq + Kd2)
-
-    rng = np.random.default_rng(1)
-    sol = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
-                           aw=0.05, f=f, Cg=Cg)
     k0 = float(np.sqrt(3.0) * f / Cg)
     flow_steps, ray_substeps = 5, 1
+    sols = {}
+    for nx in (512, 1024):
+        rng = np.random.default_rng(1)
+        sols[nx] = band_geo_wave_ic(grids[nx], rng, Kg=(10, 13), Kw=(0, 5),
+                                    ag=0.5, aw=0.05, f=f, Cg=Cg)
 
-    def hero(sqrtp, interp, tag, table_dtype="float32"):
+    def hero(sqrtp, interp, tag, table_dtype="bfloat16", nx=512,
+             birth_death=False, ray_method="rk4", ray_opts=None, trials=3):
+        grid, model = grids[nx], models[nx]
+        init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+        psih_fn = psih_maker(grid, model.params)
         rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                        dx=grid.dx, dy=grid.dy, interp=interp,
                        table_dtype=table_dtype)
         packets = lattice_packets(sqrtp, grid.Lx, grid.Ly, k0=k0, k_ring=True)
+        bd_cfg = dict(k_shape=1.5, lam=10.0) if birth_death else None
         frame = make_coupled_frame(model, step_fn, psih_fn, rp, flow_steps,
                                    ray_substeps=ray_substeps,
-                                   k_cutoff=100.0 * f / Cg, k0=k0)
-        fields0 = fields_from_psih(psih_fn(sol), grid, rp.interp)
-        sim = SimState(sol, zero_clock(), init_fn(sol), packets, fields0)
+                                   ray_method=ray_method,
+                                   k_cutoff=100.0 * f / Cg, k0=k0,
+                                   birth_death=bd_cfg, ray_opts=ray_opts)
+        fields0 = fields_from_psih(psih_fn(sols[nx]), grid, rp.interp)
+        bd = (init_birth_death(jax.random.PRNGKey(0), packets.n)
+              if birth_death else None)
+        sim = SimState(sols[nx], zero_clock(), init_fn(sols[nx]), packets,
+                       fields0, bd)
 
         def call(c):
             pk = packets._replace(x=packets.x + 1e-6 * c)
             return frame(sim._replace(packets=pk))
 
-        t = _timeit_unique(call, warmup=2, iters=3)
+        t, sp = _timeit_unique(call, warmup=2, iters=3, trials=trials)
         npackets = sqrtp * sqrtp
         rays_per_s = npackets * ray_substeps * flow_steps / t
-        results[f"{tag}_rays_per_s_per_chip"] = rays_per_s
         results[f"{tag}_coupled_steps_per_s"] = flow_steps / t
-        print(f"# {tag}: {rays_per_s:.3e} ray-steps/s, "
-              f"{flow_steps / t:.2f} coupled steps/s", file=sys.stderr)
+        record(f"{tag}_rays_per_s_per_chip", rays_per_s, sp,
+               f"{tag}: {rays_per_s:.3e} ray-steps/s, "
+               f"{flow_steps / t:.2f} coupled steps/s")
         return rays_per_s, rp, packets, sim
 
     rays_per_s, rp, packets, sim = hero(1024, "bilinear", "hero")
-    hero(1024, "bilinear", "hero_bf16", table_dtype="bfloat16")
+    hero(1024, "bilinear", "hero_f32", table_dtype="float32")
     hero(1024, "bspline", "hero_bspline")
     hero(512, "bilinear", "ensemble262k")   # reference's largest real ensemble
+    # 1024^2 coupled + 262k packets (BASELINE config 5 minus multi-host;
+    # reference 1024^2 capacity: rsw/FroudeParameters.jl:4) and birth/death
+    # resampling on the 262k ensemble (VERDICT r3 item 7)
+    hero(512, "bilinear", "hero1024", nx=1024, trials=2)
+    hero(512, "bilinear", "hero_bd", birth_death=True, trials=2)
+    # adaptive hero: the reference's production path is ADAPTIVE Vern7 with
+    # DifferentialEquations defaults reltol=1e-3/abstol=1e-6
+    # (GPURaytracing.jl:111-113,135-137; VERDICT r3 item 3). Embedded
+    # DP5(4), forward-only while_loop so finished slots cost nothing.
+    hero(1024, "bilinear", "hero_adaptive", ray_method="adaptive",
+         ray_opts=dict(rtol=1e-3, atol=1e-6, max_steps=16, init_substeps=1,
+                       loop="while"), trials=2)
+    # accept/reject telemetry for the adaptive row (one representative
+    # flow-step interval on the same fields/tolerances)
+    from juliaraytracingsw_tpu.rays.raytrace import raytrace_adaptive
+
+    grid512 = grids[512]
+    f0_ = fields_from_psih(psih_maker(grid512, models[512].params)(sols[512]),
+                           grid512, "bilinear")
+    _, info = raytrace_adaptive(packets, f0_, f0_, 0.0, dt, rp,
+                                rtol=1e-3, atol=1e-6, max_steps=16,
+                                init_substeps=1, loop="while")
+    results["hero_adaptive_accepted_per_interval"] = int(info["n_accepted"])
+    results["hero_adaptive_rejected_per_interval"] = int(info["n_rejected"])
+    print(f"# hero_adaptive: {int(info['n_accepted'])} accepted / "
+          f"{int(info['n_rejected'])} rejected attempts per flow interval",
+          file=sys.stderr)
 
     # --- fwd+bwd step time (differentiable hero step) ----------------------
     from juliaraytracingsw_tpu.rays.raytrace import raytrace
+
+    grid, model = grids[512], models[512]
+    init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+    psih_fn = psih_maker(grid, model.params)
+    sol = sols[512]
 
     @jax.jit
     def grad_step(sol, pkts, c):
@@ -160,16 +227,20 @@ def main():
 
         return jax.value_and_grad(loss)(sol)
 
-    t = _timeit_unique(lambda c: grad_step(sol, packets, jnp.float32(c)),
-                       warmup=1, iters=3)
-    results["hero_fwd_bwd_step_s"] = t
-    print(f"# hero fwd+bwd step: {t * 1e3:.1f} ms", file=sys.stderr)
+    t, sp = _timeit_unique(lambda c: grad_step(sol, packets, jnp.float32(c)),
+                           warmup=1, iters=3, trials=2)
+    record("hero_fwd_bwd_step_s", t, sp,
+           f"hero fwd+bwd step: {t * 1e3:.1f} ms")
 
     # --- long-horizon backward: grad through 100 coupled 512^2 steps --------
-    # VERDICT round-1 item 8 / SURVEY §5.7: the "long-context" problem here is
-    # the backward pass through many coupled steps. remat=True checkpoints
-    # each interleaved step; the taps gather path keeps the scan carry small
-    # (no per-step patch table), so 100 512^2 steps fit single-chip HBM.
+    # VERDICT r3 item 5 asked for a patch-path backward competitive with
+    # taps at this scale; BOTH alternatives were built and measured
+    # (rays/raytrace._patch_bwd_impl): the taps-custom-VJP patch path costs
+    # 12.6 s here and the AD-table-transpose patch path 5.3 s — the pure
+    # taps-gather configuration below (3.1 s) remains the measured optimum
+    # for small-ensemble long-horizon gradients, because at 16k packets the
+    # per-stage tap gathers are cheap while any patch path pays a
+    # grid-sized table rebuild per step (docs/PERFORMANCE.md).
     rp_taps = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                         dx=grid.dx, dy=grid.dy, interp="bilinear",
                         gather="taps")
@@ -189,11 +260,12 @@ def main():
 
         return jax.value_and_grad(loss)(s)
 
-    t = _timeit_unique(lambda c: grad_through_100(sol, pk128, jnp.float32(c)),
-                       warmup=1, iters=2)
-    results["bwd100_remat_512_s"] = t
-    print(f"# grad through 100 coupled 512^2 steps (remat, 16k packets): "
-          f"{t:.2f} s", file=sys.stderr)
+    t, sp = _timeit_unique(
+        lambda c: grad_through_100(sol, pk128, jnp.float32(c)),
+        warmup=1, iters=2, trials=2)
+    record("bwd100_remat_512_s", t, sp,
+           f"grad through 100 coupled 512^2 steps "
+           f"(remat, taps gather, 16k packets): {t:.2f} s")
 
     # --- self-baseline ratio + regression guard -----------------------------
     # The regression reference is the best hero number ever recorded
@@ -219,26 +291,28 @@ def main():
     merged.update(results)
     merged["best_hero_rays_per_s"] = max(best, rays_per_s)
     merged["note"] = (
-        "round 3: fast-path ablation measured (benchmarks/profiling/"
-        "prof_r3_variants.py): the 1M-row pair gather is index-latency-"
-        "bound (~15-18 ns/row at ~4% of HBM peak; width and dtype nearly "
-        "free), so bf16 tables buy only ~5-7% and JRSW_PATCH_IMPL=mxu is "
-        "net slower. New default stage math JRSW_PATCH_IMPL=pairsplit "
-        "(weights shared between time levels) measured +6.5% over split "
-        "(33.5 vs 35.9 ms/substep). Deeper cuts need the fused Mosaic "
-        "kernel, which cannot compile in this environment (trivial "
-        "pallas_call times out 600 s; recorded: benchmarks/profiling/"
-        "PALLAS_PROBE_r3.md). ensemble262k per-ray deficit vs hero is the "
-        "~3 ms/step fixed flow+fields+table cost amortised over fewer "
-        "rays (t=F+N*v fit: F~3 ms, v~32 ns/ray) — per-ray throughput is "
-        "monotone INCREASING in ensemble size, as it should be. 512^2 "
-        "flow step is XLA-FFT-bound (docs/PERFORMANCE.md roofline)."
+        "round 4: hero promoted to bf16 pair tables (VERDICT r3 item 2) — "
+        "bf16 halves the row-gather width and measured +13% end-to-end over "
+        "f32 (the r3 '5-7%' note undercounted: it quoted the substep-only "
+        "ablation, not the whole frame; reconciled in docs/PERFORMANCE.md "
+        "with a production-horizon trajectory-divergence bound). hero_f32 "
+        "stays the accuracy-default row. All metrics now min-of-N trials "
+        "with recorded <tag>_spread (item 6). Item 5 ablation: a "
+        "taps-formulation custom VJP for the patch path was built and "
+        "measured NEGATIVE in both regimes (1M hero fwd+bwd 1.38 s vs "
+        "0.08 s AD table transpose; 16k bwd100 12.6 s vs 5.3 s table vs "
+        "3.1 s pure-taps config) — default backward stays the AD table "
+        "transpose, JRSW_PATCH_BWD=taps keeps the alternative pinned. "
+        "hero_adaptive = reference-parity adaptive path at "
+        "DifferentialEquations default tolerances with while-loop early "
+        "exit (item 3); hero1024/hero_bd cover BASELINE config 5 capacity "
+        "minus multi-host (item 7)."
     )
     with open(SELF_BASELINE_PATH, "w") as fh:
         json.dump(merged, fh, indent=1)
 
     print(json.dumps({
-        "metric": "rays/s/chip (1M packets, 512^2 RSW coupled)",
+        "metric": "rays/s/chip (1M packets, 512^2 RSW coupled, bf16 tables)",
         "value": rays_per_s,
         "unit": "ray-steps/s",
         "vs_baseline": vs,

@@ -175,10 +175,10 @@ def make_coupled_frame(
                 packets, fields_old, fields_new, t0, clock.t, rp, **ray_opts,
             )
         elif use_patch:
-            # fb variant: same fast forward, but the backward interpolates
-            # directly from the field stacks (taps formulation) instead of
-            # transposing the table build — the production gradient path
-            # (rays/raytrace.raytrace_tables_fb, JRSW_PATCH_BWD)
+            # fb variant: same fast forward; the backward formulation is
+            # selectable (JRSW_PATCH_BWD — default AD table transpose,
+            # opt-in taps-style re-interpolation custom VJP; both measured,
+            # rays/raytrace._patch_bwd_impl)
             packets = raytrace_tables_fb(
                 packets, T_pair, fields_old, fields_new, t0, clock.t, rp,
                 ny, nx, nsubsteps=ray_substeps, method=ray_method,

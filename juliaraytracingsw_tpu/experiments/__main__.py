@@ -99,6 +99,13 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--ray-max-steps", type=int, default=32)
     p.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bspline", "bicubic"])
+    p.add_argument("--table-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the gathered ray pair table; "
+                        "bfloat16 halves the gather width (~+13%% coupled "
+                        "throughput, bench hero config) at ~2^-8 relative "
+                        "rounding of stored field values — divergence "
+                        "quantified in docs/PERFORMANCE.md")
     p.add_argument("--frozen-flow", action="store_true")
     p.add_argument("--birth-death", action="store_true",
                    help="Weibull birth/death ensemble resampling "
@@ -248,7 +255,8 @@ def cmd_rsw(args):
         }
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -274,7 +282,8 @@ def cmd_swqg(args):
 
     psih_fn = lambda s: swqg.streamfunction_from_pv(s, grid, model.params)
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -358,7 +367,8 @@ def cmd_twolayer(args):
         return 0.5 * (psih[0] + sgn * psih[1])
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -434,7 +444,8 @@ def cmd_steady_raytracing(args):
     # s = Fr * Cg / rms_U tunes the advection/dispersion ratio)
     s = args.packet_velocity_scale
     rp = RayParams(f=f, Cg=Cg / s, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype)
     fields = fields_from_psih(psih, grid, args.interp)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
@@ -571,7 +582,8 @@ def cmd_single_wave(args):
         return -qh / (grid.Krsq + Kd2)
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
-                   dx=grid.dx, dy=grid.dy, interp=args.interp)
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype)
     k0 = float(np.asarray(grid.kr)[args.k0_idx])
     l0 = float(np.asarray(grid.l)[args.l0_idx])
     # rays launched at the envelope centre, carrying the injected wavevector,

@@ -48,7 +48,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.steppers import AB3State, AB3_H1, AB3_H2, AB3_H3, Clock, apply_L, expm_tables
-from ..models import swqg as _swqg, twolayerqg as _tlqg
+from ..models import swqg as _swqg, thomasyamada as _ty, twolayerqg as _tlqg
 from ..rays.interp import bspline_prefilter_mask
 from ..rays.packets import Packets
 from ..rays.patch import build_patch_table
@@ -56,7 +56,8 @@ from ..rays.raytrace import RayParams, make_pair_table, raytrace_tables
 from ..rays.resample import k_cutoff_reset
 from .fft import local_irfft2, local_rfft2, padded_nkr
 
-__all__ = ["ShardedSpectralModel", "ShardedTwoLayerQG", "ShardedSWQG"]
+__all__ = ["ShardedSpectralModel", "ShardedTwoLayerQG", "ShardedSWQG",
+           "ShardedThomasYamada"]
 
 
 def _pad_last(a: np.ndarray, size: int) -> np.ndarray:
@@ -425,3 +426,83 @@ class ShardedSWQG(ShardedSpectralModel):
 
     def _psih_local(self, sol, c):
         return (sol * c["ifac"])[0]
+
+
+# -----------------------------------------------------------------------------
+# Thomas-Yamada coupled barotropic/baroclinic model
+# (thomasyamada/ThomasYamada.jl; diagonal hyperviscous L on 4 components)
+# -----------------------------------------------------------------------------
+
+@dataclass
+class ShardedThomasYamada(ShardedSpectralModel):
+    """Slab-sharded Thomas-Yamada stepping (``params`` is a TYParams).
+
+    State (4, nl, nkr_pad): (zeta_t, u_c, v_c, p_c). Steps with the
+    sharded IF-AB3 (the reference's ETDAB3 scheme class); the replicated
+    path additionally offers ETDRK4 (the reference TY default,
+    thomasyamada/ThomasYamada.jl:55-74). The ray-advecting streamfunction
+    is the barotropic psi_t = -zeta_t / K^2.
+    """
+
+    nfields = 4
+
+    def _build_L(self):
+        g, p = self.grid, self.params
+        D = -p.nu * np.asarray(g.Krsq, np.float64) ** p.nnu
+        return np.broadcast_to(D, (4,) + D.shape).astype(np.float32)
+
+    def _extra_consts(self):
+        g = self.grid
+        return {
+            "k": np.asarray(g.kr, np.float32)[None, :],
+            "lr": np.asarray(g.l, np.float32)[:, None],   # (nl, 1) replicated
+            "invK": np.asarray(g.invKrsq, np.float32),
+        }
+
+    def _calcN_local(self, solh, c):
+        """models.thomasyamada calcN on one kr-column shard (the 11-field
+        inverse and 10-product forward transforms become slab-local FFT +
+        all_to_all; thomasyamada/ThomasYamada.jl:129-274)."""
+        ik, il, deal = c["ik"], c["il"], c["deal"]
+        k, l, invK = c["k"], c["lr"], c["invK"]
+        Ro = self.params.Ro
+        solh = solh * deal
+        zth, uch, vch, pch = solh[0], solh[1], solh[2], solh[3]
+        psith = -zth * invK
+        uth = -il * psith
+        vth = ik * psith
+
+        stack = jnp.stack([
+            zth, uth, vth, uch, vch,
+            il * uch, ik * vch, il * uth, ik * vth, ik * pch, il * pch,
+        ])
+        ph = local_irfft2(stack, self.grid.nx, self.axis)
+        zt, ut, vt, uc, vc, ucy, vcx, uty, vtx, pcx, pcy = (
+            ph[i] for i in range(11)
+        )
+        prods = jnp.stack([
+            ut * zt, vt * zt,
+            uc * vc, uc * uc, vc * vc,
+            ut * uc, vt * vc,
+            vt * ucy + vc * uty,
+            ut * vcx + uc * vtx,
+            ut * pcx + vt * pcy,
+        ])
+        prodh = local_rfft2(prods, self.nkr_pad, self.axis)
+        utzt, vtzt = prodh[0], prodh[1]
+        ucvc, uc2, vc2 = prodh[2], prodh[3], prodh[4]
+        utuc, vtvc = prodh[5], prodh[6]
+        uc_cross, vc_cross, pc_adv = prodh[7], prodh[8], prodh[9]
+
+        Nzt = -Ro * (
+            1j * k * utzt + 1j * l * vtzt
+            + (-(k**2) + l**2) * ucvc
+            + k * l * (uc2 - vc2)
+        )
+        Nuc = vch - 1j * k * pch - Ro * (1j * k * utuc + uc_cross)
+        Nvc = -uch - 1j * l * pch - Ro * (1j * l * vtvc + vc_cross)
+        Npc = -1j * k * uch - 1j * l * vch - Ro * pc_adv
+        return jnp.stack([Nzt, Nuc, Nvc, Npc]) * deal
+
+    def _psih_local(self, sol, c):
+        return -sol[0] * c["invK"]

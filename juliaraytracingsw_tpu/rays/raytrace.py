@@ -491,15 +491,31 @@ def _raytrace_taps(packets, fields_old, fields_new, t0, t1, rp: RayParams,
 
 def _patch_bwd_impl() -> str:
     """Backward formulation for the patch fast path, JRSW_PATCH_BWD (read at
-    trace time): 'taps' (default) routes the backward through a taps-style
-    re-interpolation directly from the field stacks via a custom VJP —
-    measured cheaper than transposing the table build (the table transpose
-    is a 1M-row scatter-add into the (ny*nx, 2W) table plus ph*pw
-    field-sized roll transposes per step; VERDICT r3 item 5); 'table' keeps
-    the plain AD transpose of the gather+build."""
+    trace time): 'table' (default) | 'taps'.
+
+    Both were measured on the bench chip (VERDICT r3 item 5 asked for a
+    taps-style backward; the ablation came out NEGATIVE in every regime,
+    so the AD table transpose stays the default):
+
+    - 'table' (default): plain AD transpose of gather+build — ONE N-row
+      scatter-add into the (ny*nx, 2W) table per substep plus field-sized
+      roll/concat transposes. 1M-packet hero fwd+bwd: ~0.08 s; 16k packets
+      through 100 remat'd coupled 512^2 steps: 5.3 s.
+    - 'taps' (opt-in): custom VJP whose backward re-interpolates directly
+      from the field stacks (raytrace_tables_fb). Cost ~ N x taps x stages
+      scattered gathers + scatter-adds per pass, and under remat it pays
+      the patch forward recompute PLUS a taps linearization: measured
+      1.38 s on the 1M hero fwd+bwd (18x worse) and 12.6 s on the 16k
+      bwd100 (2.4x worse) — gradients pinned equal, speed never better.
+
+    For small-ensemble long-horizon gradients the measured optimum remains
+    ``RayParams(gather='taps')`` end-to-end (taps forward AND backward,
+    3.1 s on bwd100): at 16k packets the taps forward's per-stage gathers
+    are cheap while the patch path's per-step table rebuild is grid-sized
+    regardless of N (docs/PERFORMANCE.md "Long-horizon gradients")."""
     import os
 
-    return os.environ.get("JRSW_PATCH_BWD", "taps")
+    return os.environ.get("JRSW_PATCH_BWD", "table")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -560,16 +576,17 @@ def raytrace_tables_fb(
     nsubsteps: int = 1,
     method: str = "rk4",
 ) -> Packets:
-    """raytrace_tables with the production backward: same fast forward, but
-    gradients interpolate directly from the field stacks (taps formulation)
-    instead of transposing the table build (JRSW_PATCH_BWD=taps, default;
-    =table restores the plain AD transpose). Use when the (old, new) field
-    stacks are at hand — the coupled frame always has them."""
-    if _patch_bwd_impl() == "table":
-        return _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
-                                     nsubsteps, method)
-    return _raytrace_patch_fb(rp, ny, nx, nsubsteps, method,
-                              packets, T_pair, fields_old, fields_new, t0, t1)
+    """raytrace_tables with a selectable backward (see _patch_bwd_impl):
+    the default AD table transpose, or the opt-in taps custom VJP that
+    re-interpolates gradients from the field stacks. Use when the
+    (old, new) field stacks are at hand — the coupled frame always has
+    them."""
+    if _patch_bwd_impl() == "taps":
+        return _raytrace_patch_fb(rp, ny, nx, nsubsteps, method,
+                                  packets, T_pair, fields_old, fields_new,
+                                  t0, t1)
+    return _raytrace_tables_impl(packets, T_pair, t0, t1, rp, ny, nx,
+                                 nsubsteps, method)
 
 
 @partial(jax.jit, static_argnames=("nsubsteps", "method", "rp", "ny", "nx"))

@@ -125,10 +125,11 @@ class TestRayGradients:
 
 
 class TestPatchBackwardFormulation:
-    """The production fast path's custom VJP (raytrace_tables_fb) routes the
-    backward through taps-style re-interpolation from the field stacks
-    (VERDICT r3 item 5). Pin: gradients from the patch forward match the
-    taps path's gradients, and the JRSW_PATCH_BWD=table AD-transpose agrees."""
+    """Two backward formulations exist for the patch fast path (VERDICT r3
+    item 5; both measured, AD table transpose is the default — see
+    rays/raytrace._patch_bwd_impl). Pin: the default patch backward matches
+    the taps-gather path's gradients, and the opt-in JRSW_PATCH_BWD=taps
+    custom VJP agrees with both."""
 
     def _setup(self, rng):
         g = make_grid(32)
@@ -150,22 +151,24 @@ class TestPatchBackwardFormulation:
         return jax.grad(loss, argnums=(0, 1, 2))(f_old, f_new,
                                                  jnp.float64(0.3))
 
-    def test_patch_fb_grad_matches_taps(self, rng):
+    def test_patch_default_grad_matches_taps(self, rng):
         g, rp, p, f_old, f_new = self._setup(rng)
         g_patch = self._grads(rp, p, f_old, f_new)
         g_taps = self._grads(rp._replace(gather="taps"), p, f_old, f_new)
+        # default patch backward is the AD table transpose — same math as
+        # the taps path up to FP association
         for a, b in zip(g_patch, g_taps):
             scale = float(jnp.max(jnp.abs(b))) + 1e-30
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-6, atol=1e-9 * scale)
+                                       rtol=5e-5, atol=1e-7 * scale)
 
-    def test_table_transpose_backward_agrees(self, rng, monkeypatch):
+    def test_taps_custom_vjp_backward_agrees(self, rng, monkeypatch):
         g, rp, p, f_old, f_new = self._setup(rng)
-        g_fb = self._grads(rp, p, f_old, f_new)
-        monkeypatch.setenv("JRSW_PATCH_BWD", "table")
+        g_tab = self._grads(rp, p, f_old, f_new)     # default: AD transpose
+        monkeypatch.setenv("JRSW_PATCH_BWD", "taps")
         jax.clear_caches()
         try:
-            g_tab = self._grads(rp, p, f_old, f_new)
+            g_fb = self._grads(rp, p, f_old, f_new)  # opt-in custom VJP
         finally:
             monkeypatch.delenv("JRSW_PATCH_BWD")
             jax.clear_caches()

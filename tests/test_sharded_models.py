@@ -226,3 +226,32 @@ class TestShardedSWQG:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-5)
         assert int(clock_out.step) == 5
+
+
+@needs_8
+class TestShardedThomasYamada:
+    def _setup(self, nx=64, seed=13):
+        from juliaraytracingsw_tpu.models import thomasyamada as ty
+
+        g = make_grid(nx)
+        model = ty.make_model(g, nu=1e-18, nnu=4, Ro=0.2)
+        sol0 = _band_ic(g, np.random.default_rng(seed), 4, amp=0.3)
+        return g, model, sol0
+
+    def test_step_matches_replicated(self):
+        from juliaraytracingsw_tpu.parallel.sharded import ShardedThomasYamada
+
+        g, model, sol0 = self._setup()
+        _compare_steps(g, model, sol0, ShardedThomasYamada)
+
+    def test_fields_match_replicated(self):
+        from juliaraytracingsw_tpu.parallel.sharded import ShardedThomasYamada
+
+        g, model, sol0 = self._setup()
+        mesh = make_mesh(8)
+        sh = ShardedThomasYamada(g, model.params, mesh, dt=DT)
+        psih = -sol0[0] * g.invKrsq        # barotropic streamfunction
+        want = np.asarray(fields_from_psih(psih, g))
+        got = np.asarray(sh.fields(sh.shard_solution(sol0)))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
