@@ -291,21 +291,23 @@ def main():
     merged.update(results)
     merged["best_hero_rays_per_s"] = max(best, rays_per_s)
     merged["note"] = (
-        "round 4: hero promoted to bf16 pair tables (VERDICT r3 item 2) — "
-        "bf16 halves the row-gather width and measured +13% end-to-end over "
-        "f32 (the r3 '5-7%' note undercounted: it quoted the substep-only "
-        "ablation, not the whole frame; reconciled in docs/PERFORMANCE.md "
-        "with a production-horizon trajectory-divergence bound). hero_f32 "
-        "stays the accuracy-default row. All metrics now min-of-N trials "
-        "with recorded <tag>_spread (item 6). Item 5 ablation: a "
-        "taps-formulation custom VJP for the patch path was built and "
-        "measured NEGATIVE in both regimes (1M hero fwd+bwd 1.38 s vs "
-        "0.08 s AD table transpose; 16k bwd100 12.6 s vs 5.3 s table vs "
-        "3.1 s pure-taps config) — default backward stays the AD table "
-        "transpose, JRSW_PATCH_BWD=taps keeps the alternative pinned. "
-        "hero_adaptive = reference-parity adaptive path at "
-        "DifferentialEquations default tolerances with while-loop early "
-        "exit (item 3); hero1024/hero_bd cover BASELINE config 5 capacity "
+        "round 4: hero 3.05e7 -> 4.73e7 (+55%) from two stacked levers: "
+        "(a) bf16 pair tables promoted to the production default (item 2; "
+        "+15% alone, divergence quantified: worst packet 0.019 cells / "
+        "0.13% |k| after 500 steps, prof_bf16_divergence.py), and (b) the "
+        "NEW default lax.map packet chunking (JRSW_RAY_CHUNK=65536, item "
+        "4): chunk rows stay VMEM-resident across RK stages, killing most "
+        "of the 8-pass HBM re-read (+35% on top; full sweep in "
+        "prof_r4_chunk.py / docs/PERFORMANCE.md). All metrics min-of-N "
+        "trials with recorded <tag>_spread (item 6). Item 5 ablation "
+        "NEGATIVE: taps-formulation custom VJP measured 1.38 s vs 0.08 s "
+        "(1M fwd+bwd) and 12.6 s vs 5.3 s table / 3.1 s pure-taps (16k "
+        "bwd100); default backward stays the AD table transpose, "
+        "JRSW_PATCH_BWD=taps keeps the alternative pinned. hero_adaptive "
+        "= reference-parity adaptive at DifferentialEquations default "
+        "tolerances, while-loop early exit, 1 accept/0 reject per flow "
+        "interval (item 3; the adaptive attempt shares the chunked stage "
+        "math, +5.5%); hero1024/hero_bd cover BASELINE config 5 capacity "
         "minus multi-host (item 7)."
     )
     with open(SELF_BASELINE_PATH, "w") as fh:

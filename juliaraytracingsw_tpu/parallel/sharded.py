@@ -48,7 +48,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.steppers import AB3State, AB3_H1, AB3_H2, AB3_H3, Clock, apply_L, expm_tables
-from ..models import swqg as _swqg, thomasyamada as _ty, twolayerqg as _tlqg
+from ..models import (multilayerqg as _mlqg, swqg as _swqg,
+                      thomasyamada as _ty, twolayerqg as _tlqg)
 from ..rays.interp import bspline_prefilter_mask
 from ..rays.packets import Packets
 from ..rays.patch import build_patch_table
@@ -57,7 +58,7 @@ from ..rays.resample import k_cutoff_reset
 from .fft import local_irfft2, local_rfft2, padded_nkr
 
 __all__ = ["ShardedSpectralModel", "ShardedTwoLayerQG", "ShardedSWQG",
-           "ShardedThomasYamada"]
+           "ShardedThomasYamada", "ShardedMultiLayerQG"]
 
 
 def _pad_last(a: np.ndarray, size: int) -> np.ndarray:
@@ -506,3 +507,55 @@ class ShardedThomasYamada(ShardedSpectralModel):
 
     def _psih_local(self, sol, c):
         return -sol[0] * c["invK"]
+
+
+# -----------------------------------------------------------------------------
+# General n-layer QG (models/multilayerqg — the GeophysicalFlows
+# MultiLayerQG equivalent the reference drivers build problems from)
+# -----------------------------------------------------------------------------
+
+@dataclass
+class ShardedMultiLayerQG(ShardedSpectralModel):
+    """Slab-sharded n-layer QG (``params`` is a MultiLayerParams).
+
+    State (n, nl, nkr_pad); the per-mode n x n inverse stretching matrix is
+    a kr-column-sharded constant applied as a channel einsum (the
+    batched-trailing-dims form lowers elementwise — exact on the MXU). The
+    ray-advecting streamfunction is the depth-weighted (barotropic) mean
+    sum_j delta_j psi_j (raytracing/TwoLayerRaytracing.jl:122 generalised).
+    """
+
+    def __post_init__(self):
+        self.nfields = self.params.nlayers
+        super().__post_init__()
+
+    def _build_L(self):
+        return _mlqg.build_L(self.grid, self.params)
+
+    def _extra_consts(self):
+        return {"Sinv": _mlqg._sinv(self.grid, self.params)
+                .astype(np.float32)}
+
+    def _psi_from_q(self, qh, c):
+        return jnp.einsum("ab...,b...->a...", c["Sinv"], qh,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def _calcN_local(self, solh, c):
+        """models.multilayerqg calcN on one kr-column shard: per-layer
+        J(psi_j, q_j) advection with the mean-flow/PV-gradient terms in L."""
+        ik, il, deal = c["ik"], c["il"], c["deal"]
+        n = self.params.nlayers
+        qh = solh * deal
+        psih = self._psi_from_q(qh, c)
+        stack = jnp.concatenate([qh, ik * psih, il * psih])   # (3n, ...)
+        phys = local_irfft2(stack, self.grid.nx, self.axis)
+        q, psix, psiy = phys[0:n], phys[n:2 * n], phys[2 * n:3 * n]
+        prodh = local_rfft2(jnp.concatenate([psix * q, psiy * q]),
+                            self.nkr_pad, self.axis)
+        return (-il * prodh[0:n] + ik * prodh[n:2 * n]) * deal
+
+    def _psih_local(self, sol, c):
+        psih = self._psi_from_q(sol, c)
+        w = jnp.asarray(self.params.delta, psih.real.dtype)
+        return jnp.tensordot(w, psih, axes=(0, 0),
+                             precision=jax.lax.Precision.HIGHEST)

@@ -617,17 +617,34 @@ def raytrace_tables(
 
 
 def _ray_chunk() -> int:
-    """Packet-chunked stage math, JRSW_RAY_CHUNK (read at trace time):
-    0 (default) runs each substep over the whole packet batch — the gathered
-    (N, 2W) rows are then an HBM-resident intermediate that every RK stage
-    re-reads (8 row passes per RK4 substep at 2 time levels). A chunk size
-    c > 0 wraps the substep in ``lax.map`` over N/c packet chunks so each
-    chunk's rows (c x 2W) can stay VMEM-resident across the fused stage
-    chain (VERDICT r3 item 4: the XLA-only lever against the stage-math HBM
-    re-reads; measured in benchmarks/profiling/prof_r4_chunk.py)."""
+    """Packet-chunked stage math, JRSW_RAY_CHUNK (read at trace time).
+
+    Unchunked (0), each substep runs over the whole packet batch and the
+    gathered (N, 2W) rows become an HBM-resident intermediate that every
+    RK stage re-reads (8 row passes per RK4 substep x time level). A chunk
+    size c > 0 wraps the substep in ``lax.map`` over N/c packet chunks so
+    each chunk's rows (c x 2W, a few tens of MB) stay VMEM-resident across
+    the fused stage chain — VERDICT r3 item 4's XLA-only lever, measured
+    on the bench chip (prof_r4_chunk.py, 1M-packet hero): +35% at c=65536
+    with bf16 tables (3.50 -> 4.73e7 ray-steps/s) and +37% with f32
+    (3.05 -> 4.16e7); c=262144 spills (gains halve).
+
+    DEFAULT 65536 (the measured optimum). If N is not divisible by the
+    chunk, successive halvings are tried (covers 384^2-style ensembles);
+    small batches (N <= c) stay unchunked. JRSW_RAY_CHUNK=0 disables."""
     import os
 
-    return int(os.environ.get("JRSW_RAY_CHUNK", "0"))
+    return int(os.environ.get("JRSW_RAY_CHUNK", "65536"))
+
+
+def _pick_chunk(n: int, csize: int) -> int:
+    """Largest divisor of n among csize, csize/2, ... csize/8 (0 = none)."""
+    c = csize
+    while c > 0 and (n <= c or n % c):
+        c //= 2
+        if c < csize // 8:
+            return 0
+    return c if c > 0 else 0
 
 
 def _raytrace_tables_impl(packets, T_pair, t0, t1, rp: RayParams,
@@ -656,9 +673,9 @@ def _raytrace_tables_impl(packets, T_pair, t0, t1, rp: RayParams,
             out = fused(rows_T, st, jnp.stack([a0, h]))
             return Packets(out[0], out[1], out[2], out[3], p.sign), None
     else:
-        csize = _ray_chunk()
         n = packets.x.shape[0]
-        if csize and n > csize and n % csize == 0:
+        csize = _pick_chunk(n, _ray_chunk()) if _ray_chunk() else 0
+        if csize:
             nchunks = n // csize
 
             def body(p, i):
@@ -767,7 +784,10 @@ def raytrace_adaptive(
     C, A, BH, BE, exponent = _EMBEDDED_PAIRS[pair]
 
     def attempt(p, t, h, sample):
-        """One embedded-pair attempt from (p, t) with size h -> (p_hi, err)."""
+        """One embedded-pair attempt from (p, t) with size h ->
+        (p_hi, sum of squared scaled component errors) — the caller turns
+        the sum into the Hairer mixed norm, so chunked partial sums
+        combine exactly."""
         a0 = (t - t0) / span
         dah = h / span
         ks = []
@@ -785,9 +805,15 @@ def raytrace_adaptive(
 
         e = (comp_err(pe.x, p5.x, p.x) + comp_err(pe.y, p5.y, p.y)
              + comp_err(pe.k, p5.k, p.k) + comp_err(pe.l, p5.l, p.l))
-        err = jnp.sqrt(jnp.mean(e) / 4.0)
-        return p5, err
+        return p5, jnp.sum(e)
 
+    n_total = packets.x.shape[0]
+
+    def _err_norm(e_sum):
+        return jnp.sqrt(e_sum / (4.0 * n_total))
+
+    csize = (_pick_chunk(n_total, _ray_chunk()) if (use_patch and
+                                                    _ray_chunk()) else 0)
     eps = 1e-9 * jnp.abs(span)
 
     def body(carry, _):
@@ -810,7 +836,29 @@ def raytrace_adaptive(
             sample = _patch_sampler_from_rows(rows, bx, by, rp)
         else:
             sample = _make_taps_sampler(fields_old, fields_new, rp)
-        p5, err = attempt(p, t, jnp.where(done, h, h_eff), sample)
+        h_att = jnp.where(done, h, h_eff)
+        if use_patch and csize:
+            # VMEM-chunked attempt (same lever as the fixed-substep path,
+            # _ray_chunk): the 7/13-stage math runs per packet chunk so
+            # the gathered rows stay VMEM-resident across stages; the
+            # squared-error partial sums combine into the exact batch norm
+            nchunks = n_total // csize
+
+            def one_chunk(args):
+                p_c, rows_c, bx_c, by_c = args
+                s_c = _patch_sampler_from_rows(rows_c, bx_c, by_c, rp)
+                return attempt(p_c, t, h_att, s_c)
+
+            pr = jax.tree_util.tree_map(
+                lambda a: a.reshape(nchunks, csize), p)
+            p5r, e_sums = jax.lax.map(one_chunk, (
+                pr, rows.reshape(nchunks, csize, -1),
+                bx.reshape(nchunks, csize), by.reshape(nchunks, csize)))
+            p5 = jax.tree_util.tree_map(lambda a: a.reshape(-1), p5r)
+            err = _err_norm(jnp.sum(e_sums))
+        else:
+            p5, e_sum = attempt(p, t, h_att, sample)
+            err = _err_norm(e_sum)
         accept = jnp.logical_and(err <= 1.0, jnp.logical_not(done))
         reject = jnp.logical_and(err > 1.0, jnp.logical_not(done))
         p_next = jax.tree_util.tree_map(

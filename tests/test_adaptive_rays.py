@@ -277,3 +277,41 @@ def test_while_loop_matches_scan():
     assert int(info_s["n_accepted"]) == int(info_w["n_accepted"])
     assert int(info_s["n_rejected"]) == int(info_w["n_rejected"])
     assert float(info_w["t_reached"]) >= 5e-2 * (1 - 1e-6)
+
+
+def test_chunked_adaptive_matches_unchunked(monkeypatch):
+    """The VMEM-chunked adaptive attempt (JRSW_RAY_CHUNK) combines exact
+    per-chunk squared-error partial sums, so step counts are identical and
+    trajectories agree to FP roundoff (the error norm's reduction order
+    perturbs h in the last ulp)."""
+    from juliaraytracingsw_tpu.coupled.initial_conditions import random_band_psih
+    from juliaraytracingsw_tpu.core.grid import make_grid
+    from juliaraytracingsw_tpu.rays.packets import lattice_packets
+    from juliaraytracingsw_tpu.rays.raytrace import (
+        RayParams, fields_from_psih, raytrace_adaptive)
+
+    g = make_grid(32)
+    fo = fields_from_psih(random_band_psih(g, np.random.default_rng(2),
+                                           amp=0.05), g)
+    fn = fields_from_psih(random_band_psih(g, np.random.default_rng(3),
+                                           amp=0.05), g)
+    rp = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                   dx=g.dx, dy=g.dy)
+    pk = lattice_packets(64, g.Lx, g.Ly, k0=6.0, k_ring=True)  # 4096
+    monkeypatch.setenv("JRSW_RAY_CHUNK", "0")
+    jax.clear_caches()
+    p0, i0 = raytrace_adaptive(pk, fo, fn, 0.0, 5e-2, rp,
+                               rtol=1e-6, atol=1e-8, max_steps=32)
+    monkeypatch.setenv("JRSW_RAY_CHUNK", "1024")
+    jax.clear_caches()
+    try:
+        p1, i1 = raytrace_adaptive(pk, fo, fn, 0.0, 5e-2, rp,
+                                   rtol=1e-6, atol=1e-8, max_steps=32)
+    finally:
+        monkeypatch.delenv("JRSW_RAY_CHUNK")
+        jax.clear_caches()
+    for a, b in zip(p0[:4], p1[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-6)
+    assert int(i0["n_accepted"]) == int(i1["n_accepted"])
+    assert int(i0["n_rejected"]) == int(i1["n_rejected"])

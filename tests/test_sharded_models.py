@@ -255,3 +255,38 @@ class TestShardedThomasYamada:
         got = np.asarray(sh.fields(sh.shard_solution(sol0)))
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
+
+
+@needs_8
+class TestShardedMultiLayerQG:
+    def _setup(self, nx=64, seed=17, nlayers=3):
+        from juliaraytracingsw_tpu.models import multilayerqg as mlqg
+
+        g = make_grid(nx)
+        nu = derive_nu(1.0, nx, 4, DT)
+        U = tuple(0.2 - 0.2 * j for j in range(nlayers))
+        model = mlqg.make_model(g, U=U, beta=0.5, mu=1e-2, nu=nu, nnu=4,
+                                Fcoup=tuple(4.0 for _ in range(nlayers - 1)))
+        sol0 = _band_ic(g, np.random.default_rng(seed), nlayers, amp=0.4)
+        return g, model, sol0
+
+    def test_step_matches_replicated(self):
+        from juliaraytracingsw_tpu.parallel.sharded import ShardedMultiLayerQG
+
+        g, model, sol0 = self._setup()
+        _compare_steps(g, model, sol0, ShardedMultiLayerQG)
+
+    def test_fields_match_replicated(self):
+        from juliaraytracingsw_tpu.models import multilayerqg as mlqg
+        from juliaraytracingsw_tpu.parallel.sharded import ShardedMultiLayerQG
+
+        g, model, sol0 = self._setup()
+        mesh = make_mesh(8)
+        sh = ShardedMultiLayerQG(g, model.params, mesh, dt=DT)
+        psih = mlqg.streamfunction_from_pv(sol0, g, model.params)
+        w = np.asarray(model.params.delta, np.float32)
+        psib = jnp.tensordot(jnp.asarray(w), psih, axes=(0, 0))
+        want = np.asarray(fields_from_psih(psib, g))
+        got = np.asarray(sh.fields(sh.shard_solution(sol0)))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
