@@ -290,3 +290,57 @@ class TestShardedMultiLayerQG:
         got = np.asarray(sh.fields(sh.shard_solution(sol0)))
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
+
+
+@needs_8
+class TestShardedRSWVariants:
+    """The reference's file-swap RSW variants on the sharded core
+    (rsw/{Linborg,Modified,QuadHeightModified}ShallowWater.jl)."""
+
+    def _ic(self, g, seed=23):
+        from juliaraytracingsw_tpu.coupled.initial_conditions import band_geo_wave_ic
+
+        return band_geo_wave_ic(g, np.random.default_rng(seed), Kg=(4, 7),
+                                Kw=(0, 3), ag=0.2, aw=0.02, f=F0, Cg=CG)
+
+    def test_linborg_step_matches_replicated(self):
+        from juliaraytracingsw_tpu.models import linborg
+        from juliaraytracingsw_tpu.parallel.sharded_rsw import ShardedLinborg
+
+        g = make_grid(64)
+        model = linborg.make_model(g, nu=derive_nu(1.0, 64, 4, DT), nnu=4,
+                                   f=F0, Cg=CG)
+        _compare_steps(g, model, self._ic(g), ShardedLinborg)
+
+    def test_modified_step_matches_replicated(self):
+        from juliaraytracingsw_tpu.models import modified_sw
+        from juliaraytracingsw_tpu.parallel.sharded_rsw import ShardedModifiedSW
+
+        g = make_grid(64)
+        model = modified_sw.make_model(g, nu=derive_nu(1.0, 64, 4, DT),
+                                       nnu=4, f=F0, Cg=CG)
+        _compare_steps(g, model, self._ic(g), ShardedModifiedSW)
+
+    def test_quadheight_step_and_fields_match(self):
+        from juliaraytracingsw_tpu.core.spectral import irfft2, rfft2
+        from juliaraytracingsw_tpu.models import quadheight
+        from juliaraytracingsw_tpu.parallel.sharded_rsw import ShardedQuadHeight
+
+        g = make_grid(64)
+        model = quadheight.make_model(g, nu=derive_nu(1.0, 64, 4, DT),
+                                      nnu=4, f=F0, Cg=CG)
+        ic = self._ic(g)
+        sol0 = quadheight.set_solution(ic[0], ic[1], ic[2], g)
+        sh = _compare_steps(g, model, sol0, ShardedQuadHeight)
+
+        # ray fields: eta recovered from m through an FFT round-trip
+        def psih_fn(sol):
+            m = irfft2(sol[2], g.nx)
+            etah = rfft2(1.0 / m - 1.0)
+            qh = g.ik * sol[1] - g.il * sol[0] - F0 * etah
+            return -qh / (g.Krsq + F0**2 / CG**2)
+
+        want = np.asarray(fields_from_psih(psih_fn(sol0), g))
+        got = np.asarray(sh.fields(sh.shard_solution(sol0)))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
