@@ -70,6 +70,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "environment (SLURM/TPU pod/JRSW_* vars; "
                         "parallel/launcher.resolve_cluster) before building "
                         "the model")
+    p.add_argument("--sharded", action="store_true",
+                   help="kr-column-shard the flow state across all visible "
+                        "devices (parallel/sharded.py slab FFTs + ICI "
+                        "all_to_all; packets data-parallel) — the "
+                        "multi-chip production path for 1024^2+ grids; "
+                        "requires ny %% n_devices == 0")
     p.add_argument("--checkpoint", default=None,
                    help="write a resumable checkpoint here at the end")
     p.add_argument("--restore", default=None,
@@ -198,6 +204,114 @@ def _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg,
           f"{frames} frames -> {args.out_dir}")
 
 
+def _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diagnostics,
+                         default_base, model):
+    """Host loop for ``--sharded`` runs: kr-column-sharded flow frames with
+    data-parallel packets (parallel/sharded.py), mirroring CoupledDriver's
+    spinup / frames / outputs / NaN-guard / logging essentials."""
+    import time
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.steppers import zero_clock
+    from ..io.output import save_problem
+    from ..parallel.mesh import shard_packets
+    from ..rays.raytrace import sample_gradients, sample_velocity
+
+    unsupported = [n for n, v in [("--frozen-flow", args.frozen_flow),
+                                  ("--birth-death", args.birth_death),
+                                  ("--restore", args.restore),
+                                  ("--checkpoint", args.checkpoint)] if v]
+    if unsupported:
+        raise SystemExit(f"--sharded does not support {' '.join(unsupported)}"
+                         " (use the replicated driver for those)")
+    if args.ray_method not in ("rk4", "dopri5", "midpoint"):
+        raise SystemExit("--sharded supports --ray-method rk4|dopri5|midpoint")
+
+    grid, dt = model.grid, args.dt
+    k0 = float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg)
+    snap_w, pkt_w = _writers(args, default_base)
+    save_problem(snap_w, grid, model.params, dt)
+    pkt_w.write("params/f0", rp.f)
+    pkt_w.write("params/Cg", rp.Cg)
+    pkt_w.write("params/dt", dt)
+    pkt_w.write("params/N", packets.n)
+    pkt_w.write("params/omega_sign", np.asarray(packets.sign))
+
+    init_fn, step_fn = sh.stepper()
+    sol = sh.shard_solution(sol0)
+    clock, state = zero_clock(), init_fn(sol)
+    pk = shard_packets(packets, sh.mesh)
+    t_wall = time.time()
+
+    def check_nan(where):
+        if not np.isfinite(sh.unshard(sol)).all():
+            snap_w.flush(); pkt_w.flush()
+            raise FloatingPointError(f"solution is NaN/Inf at {where}")
+
+    # flow-only spinup in jitted scan chunks
+    spinup_steps = int(args.spinup_T / dt)
+    done = 0
+    while done < spinup_steps:
+        n = min(500, spinup_steps - done)
+
+        @jax.jit
+        def spin(sol, clock, state, _n=n):
+            (sol, clock, state), _ = jax.lax.scan(
+                lambda c, x: (step_fn(*c), None), (sol, clock, state),
+                None, length=_n)
+            return sol, clock, state
+
+        sol, clock, state = spin(sol, clock, state)
+        done += n
+        check_nan("spinup")
+
+    frames = max(int((args.T - args.spinup_T) / args.output_dt), 1)
+    steps_per_frame = max(int(args.output_dt / dt), 1)
+    frame = sh.make_coupled_frame(rp, steps_per_frame,
+                                  ray_substeps=args.ray_substeps,
+                                  ray_method=args.ray_method,
+                                  k_cutoff=100.0 * f / Cg, k0=k0)
+    diag_times, diag_series = [], {n: [] for n in (diagnostics or {})}
+    for i in range(frames):
+        sol, clock, state, pk = frame(sol, clock, state, pk)
+        check_nan(f"frame {i}")
+        sol_host = sh.unshard(sol)
+        fields = sh.fields(sol)
+        step = int(clock.step)
+        diag_times.append(float(clock.t))
+        from ..core.transfer import to_device
+
+        sol_dev = to_device(sol_host)   # plane-wise: complex h2d is
+        for name, fn in (diagnostics or {}).items():   # unimplemented on
+            diag_series[name].append(                  # some TPU runtimes
+                np.asarray(fn(sol_dev, grid, model.params)))
+        u, v = sample_velocity(pk, fields, rp)
+        gx = sample_gradients(pk, fields, rp)
+        pkt_w.write_packets(
+            step, float(clock.t),
+            x=np.stack([np.asarray(pk.x), np.asarray(pk.y)], 1),
+            k=np.stack([np.asarray(pk.k), np.asarray(pk.l)], 1),
+            u=np.stack([np.asarray(u), np.asarray(v)], 1),
+            g=np.stack([np.asarray(a) for a in gx], 1),
+        )
+        snap_w.write_frame(step, sol=sol_host)
+        snap_w.write(f"snapshots/t/{step}", float(clock.t))
+        umax = float(jnp.max(jnp.abs(fields[:2])))
+        print(f"step: {step:06d}, t: {float(clock.t):.2f}, "
+              f"cfl: {dt * umax / min(grid.dx, grid.dy):.2e}, "
+              f"wall: {(time.time() - t_wall) / 60:.2f} min "
+              f"[sharded x{sh.mesh.shape[sh.axis]}]")
+    with h5py.File(os.path.join(args.out_dir, "diagnostics.h5"), "w") as fh:
+        fh["t"] = np.asarray(diag_times)
+        for name, series in diag_series.items():
+            fh[name] = np.asarray(series)
+    snap_w.close(); pkt_w.close()
+    print(f"done: t={float(clock.t):.3f}, {frames} frames -> {args.out_dir}")
+
+
 def cmd_rsw(args):
     """RSW turbulence (+ packets) with selectable model variant — the
     framework's replacement for the reference's file-swap configuration
@@ -263,6 +377,19 @@ def cmd_rsw(args):
         k_ring=args.k_ring,
     ) if args.with_packets else lattice_packets(1, grid.Lx, grid.Ly, k0=1.0)
 
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_rsw import (
+            ShardedLinborg, ShardedModifiedSW, ShardedQuadHeight, ShardedRSW)
+
+        scls = {"rsw": ShardedRSW, "linborg": ShardedLinborg,
+                "modified": ShardedModifiedSW,
+                "quadheight": ShardedQuadHeight}[args.model]
+        sh = scls(grid, params, make_mesh(), dt=dt, interp=args.interp)
+        _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diags,
+                             args.model if args.model != "rsw" else "rsw",
+                             model)
+        return
     _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags,
                  args.model if args.model != "rsw" else "rsw")
 
@@ -293,6 +420,15 @@ def cmd_swqg(args):
         "energy": lambda s, g, p: swqg.energy(s, g, p),
         "enstrophy": lambda s, g, p: swqg.enstrophy(s, g, p),
     }
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedSWQG
+
+        sh = ShardedSWQG(grid, model.params, make_mesh(), dt=dt,
+                         interp=args.interp)
+        _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diags,
+                             "swqg", model)
+        return
     _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "swqg")
 
 
@@ -379,6 +515,16 @@ def cmd_twolayer(args):
             twolayerqg.kinetic_energy(s, g, p)),
         "potential_energy": lambda s, g, p: twolayerqg.potential_energy(s, g, p),
     }
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedTwoLayerQG
+
+        sh = ShardedTwoLayerQG(
+            grid, model.params, make_mesh(), dt=dt, interp=args.interp,
+            advect="baroclinic" if args.baroclinic else "barotropic")
+        _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diags,
+                             "2Lqg", model)
+        return
     _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "2Lqg")
 
 

@@ -124,6 +124,15 @@ class ShardedSpectralModel:
         def put(a):
             a = _pad_last(a, nkrp) if a.shape[-1] == g.nkr else a
             spec = spec_for(a)
+            if np.iscomplexobj(a):
+                # keep complex constants as HOST numpy: they embed into
+                # jitted executables without a device transfer, whereas
+                # device-resident complex arrays captured by an OUTER jit
+                # require a complex d2h pull at trace time — UNIMPLEMENTED
+                # on some TPU runtimes (core/transfer.py; same policy as
+                # the replicated steppers' expm tables). shard_map in_specs
+                # still apply to the embedded constant at compile time.
+                return np.ascontiguousarray(a), spec
             return jax.device_put(
                 jnp.asarray(a), NamedSharding(self.mesh, spec)), spec
 
@@ -154,18 +163,31 @@ class ShardedSpectralModel:
         """(C, nl, nkr) replicated/host -> (C, nl, nkr_pad) sharded.
 
         A channel-less (nl, nkr) solution (SWQG) grows a leading C=1 axis.
+        Complex transfers go plane-by-plane (core/transfer.py: complex
+        host<->device is UNIMPLEMENTED on some TPU runtimes).
         """
-        sol_np = np.asarray(sol)
+        from ..core.transfer import to_host
+
+        sol_np = to_host(sol)
         if sol_np.ndim == 2:
             sol_np = sol_np[None]
-        return jax.device_put(
-            jnp.asarray(_pad_last(sol_np, self.nkr_pad)), self.sol_sharding
-        )
+        sol_np = _pad_last(sol_np, self.nkr_pad)
+        if np.iscomplexobj(sol_np):
+            re = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(sol_np.real)),
+                self.sol_sharding)
+            im = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(sol_np.imag)),
+                self.sol_sharding)
+            return jax.jit(jax.lax.complex)(re, im)
+        return jax.device_put(jnp.asarray(sol_np), self.sol_sharding)
 
     def unshard(self, sol_sh):
         """Crop the pad and pull to host (C, nl, nkr) (or (nl, nkr) if C=1
         and the model state is channel-less)."""
-        out = np.asarray(sol_sh)[..., : self.grid.nkr]
+        from ..core.transfer import to_host
+
+        out = to_host(sol_sh)[..., : self.grid.nkr]
         if self.nfields == 1 and out.shape[0] == 1 and getattr(
                 self, "_squeeze_channel", False):
             return out[0]

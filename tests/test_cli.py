@@ -3,6 +3,8 @@ and records energetics (reference parity: one entry point per *Main.jl /
 driver; variants replace the sbatch file-swap pattern)."""
 import os
 
+import jax
+
 import h5py
 import numpy as np
 import pytest
@@ -178,3 +180,36 @@ def test_omega_k_stft_rows(tmp_path):
         centers = f["stft/centers"][()]
         assert spec.shape[0] == len(centers) and spec.shape[1] == 6
         assert np.isfinite(spec).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_rsw_sharded_cli(tmp_path):
+    """--sharded routes the run through the kr-column-sharded flow path
+    (parallel/sharded.py) with data-parallel packets."""
+    out = tmp_path / "shrun"
+    out.mkdir()
+    main(["rsw", "--sharded", "--ag", "0.2", "--aw", "0.02",
+          *_common(tmp_path, nx="32"), "--out-dir", str(out),
+          "--sqrt-npackets", "8"])
+    files = {p.name for p in out.iterdir()}
+    assert any(f.startswith("rsw") for f in files)
+    assert any(f.startswith("packets") for f in files)
+    assert "diagnostics.h5" in files
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_twolayer_sharded_cli_baroclinic(tmp_path):
+    out = tmp_path / "shrun2l"
+    out.mkdir()
+    main(["twolayer", "--sharded", "--baroclinic", "--U", "0.1",
+          *_common(tmp_path, nx="32"), "--out-dir", str(out),
+          "--sqrt-npackets", "8"])
+    assert (out / "diagnostics.h5").exists()
+
+
+def test_sharded_rejects_unsupported_combo(tmp_path):
+    out = tmp_path / "shbad"
+    out.mkdir()
+    with pytest.raises(SystemExit, match="frozen-flow"):
+        main(["rsw", "--sharded", "--frozen-flow",
+              *_common(tmp_path, nx="32"), "--out-dir", str(out)])
