@@ -221,9 +221,7 @@ def _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diagnostics,
     from ..rays.raytrace import sample_gradients, sample_velocity
 
     unsupported = [n for n, v in [("--frozen-flow", args.frozen_flow),
-                                  ("--birth-death", args.birth_death),
-                                  ("--restore", args.restore),
-                                  ("--checkpoint", args.checkpoint)] if v]
+                                  ("--birth-death", args.birth_death)] if v]
     if unsupported:
         raise SystemExit(f"--sharded does not support {' '.join(unsupported)}"
                          " (use the replicated driver for those)")
@@ -244,6 +242,28 @@ def _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diagnostics,
     sol = sh.shard_solution(sol0)
     clock, state = zero_clock(), init_fn(sol)
     pk = shard_packets(packets, sh.mesh)
+
+    def ckpt_tree():
+        # host-side, UNSHARDED state pytree: checkpoints are portable
+        # across mesh sizes (re-sharded on restore); AB3 history included
+        # (bit-exact resume, io/checkpoint.py)
+        return {"sol": sh.unshard(sol), "clock": clock,
+                "N1": sh.unshard(state.N1), "N2": sh.unshard(state.N2),
+                "packets": pk}
+
+    if args.restore:
+        from ..core.steppers import AB3State
+        from ..core.transfer import to_host
+        from ..io.checkpoint import load_checkpoint
+
+        tree = load_checkpoint(args.restore, ckpt_tree())
+        sol = sh.shard_solution(to_host(tree["sol"]))
+        clock = tree["clock"]
+        state = AB3State(sh.shard_solution(to_host(tree["N1"])),
+                         sh.shard_solution(to_host(tree["N2"])))
+        pk = shard_packets(tree["packets"], sh.mesh)
+        print(f"restored {args.restore}: t={float(clock.t):.3f} "
+              f"step={int(clock.step)}")
     t_wall = time.time()
 
     def check_nan(where):
@@ -308,6 +328,11 @@ def _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diagnostics,
         fh["t"] = np.asarray(diag_times)
         for name, series in diag_series.items():
             fh[name] = np.asarray(series)
+    if args.checkpoint:
+        from ..io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, ckpt_tree())
+        print(f"checkpoint -> {args.checkpoint}")
     snap_w.close(); pkt_w.close()
     print(f"done: t={float(clock.t):.3f}, {frames} frames -> {args.out_dir}")
 

@@ -213,3 +213,24 @@ def test_sharded_rejects_unsupported_combo(tmp_path):
     with pytest.raises(SystemExit, match="frozen-flow"):
         main(["rsw", "--sharded", "--frozen-flow",
               *_common(tmp_path, nx="32"), "--out-dir", str(out)])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_checkpoint_restore_roundtrip(tmp_path):
+    """--sharded runs checkpoint UNSHARDED host state (portable across mesh
+    sizes) and restore re-shards it, AB3 history included."""
+    out1 = tmp_path / "a"; out1.mkdir()
+    ck = str(tmp_path / "state.npz")
+    main(["rsw", "--sharded", "--ag", "0.2", "--aw", "0.02",
+          *_common(tmp_path, nx="32"), "--out-dir", str(out1),
+          "--sqrt-npackets", "8", "--checkpoint", ck])
+    out2 = tmp_path / "b"; out2.mkdir()
+    main(["rsw", "--sharded", "--ag", "0.2", "--aw", "0.02",
+          "--nx", "32", "--spinup-T", "0", "--T", "0.02",
+          "--output-dt", "0.01", "--out-dir", str(out2),
+          "--sqrt-npackets", "8", "--restore", ck])
+    with h5py.File(out2 / "diagnostics.h5") as f:
+        t = np.asarray(f["t"])
+        ke = np.asarray(f["kinetic_energy"])
+    # the restored run continues from the checkpointed clock
+    assert t[0] > 0.0 and np.isfinite(ke).all()
