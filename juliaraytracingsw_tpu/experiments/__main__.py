@@ -105,6 +105,15 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--ray-max-steps", type=int, default=32)
     p.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bspline", "bicubic"])
+    p.add_argument("--gather", default="patch",
+                   choices=["patch", "taps"],
+                   help="ray interpolation strategy: 'patch' (pair-table "
+                        "gather, fastest for production-sized ensembles) "
+                        "or 'taps' (per-stage tap gathers — wins when the "
+                        "grid is much larger than the ensemble, e.g. "
+                        "2048^2 fields with <512k packets, because any "
+                        "patch path pays a grid-sized table build per "
+                        "step; docs/PERFORMANCE.md)")
     p.add_argument("--table-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the gathered ray pair table; "
@@ -395,7 +404,7 @@ def cmd_rsw(args):
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
-                   table_dtype=args.table_dtype)
+                   table_dtype=args.table_dtype, gather=args.gather)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -435,7 +444,7 @@ def cmd_swqg(args):
     psih_fn = lambda s: swqg.streamfunction_from_pv(s, grid, model.params)
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
-                   table_dtype=args.table_dtype)
+                   table_dtype=args.table_dtype, gather=args.gather)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -529,7 +538,7 @@ def cmd_twolayer(args):
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
-                   table_dtype=args.table_dtype)
+                   table_dtype=args.table_dtype, gather=args.gather)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -616,7 +625,7 @@ def cmd_steady_raytracing(args):
     s = args.packet_velocity_scale
     rp = RayParams(f=f, Cg=Cg / s, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
-                   table_dtype=args.table_dtype)
+                   table_dtype=args.table_dtype, gather=args.gather)
     fields = fields_from_psih(psih, grid, args.interp)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
@@ -754,7 +763,7 @@ def cmd_single_wave(args):
 
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
-                   table_dtype=args.table_dtype)
+                   table_dtype=args.table_dtype, gather=args.gather)
     k0 = float(np.asarray(grid.kr)[args.k0_idx])
     l0 = float(np.asarray(grid.l)[args.l0_idx])
     # rays launched at the envelope centre, carrying the injected wavevector,

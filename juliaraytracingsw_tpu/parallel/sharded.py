@@ -289,8 +289,13 @@ class ShardedSpectralModel:
         "flow/ray overlap"). A final catch-up interval after the scan makes
         the trajectories IDENTICAL to the sequential frame — same field
         pairs, same order — pinned by tests/test_sharded_rsw.py."""
+        from ..rays.raytrace import _raytrace_taps, _use_patch
+
         g = self.grid
         ny, nx = g.ny, g.nx
+        use_patch = _use_patch(rp)
+        if overlap and not use_patch:
+            raise ValueError("overlap=True requires the patch gather path")
         _, step_fn = self.stepper()
         fields_fn = self._fields_jit()
 
@@ -308,8 +313,19 @@ class ShardedSpectralModel:
             t0 = clock.t
             sol, clock, sstate = step_fn(sol, clock, sstate)
             fields_new = fields_fn(sol)
-            T_new = build_patch_table(fields_new, rp.interp)
-            packets = trace(packets, T_old, T_new, t0, clock.t)
+            if use_patch:
+                T_new = build_patch_table(fields_new, rp.interp)
+                packets = trace(packets, T_old, T_new, t0, clock.t)
+            else:
+                # taps gather straight from the all-gathered field stacks —
+                # wins when the grid dwarfs the ensemble (any patch path
+                # pays a grid-sized table build per step)
+                T_new = T_old
+                packets = _raytrace_taps(packets, fields_old, fields_new,
+                                         t0, clock.t, rp, ray_substeps,
+                                         ray_method)
+                if k_cutoff is not None:
+                    packets = k_cutoff_reset(packets, k_cutoff, k0)
             return (sol, clock, sstate, packets, fields_new, T_new), None
 
         def one_overlap(carry, _):
@@ -327,7 +343,7 @@ class ShardedSpectralModel:
         @jax.jit
         def frame(sol, clock, sstate, packets: Packets):
             fields0 = fields_fn(sol)
-            T0 = build_patch_table(fields0, rp.interp)
+            T0 = build_patch_table(fields0, rp.interp) if use_patch else ()
             if not overlap:
                 carry = (sol, clock, sstate, packets, fields0, T0)
                 carry, _ = jax.lax.scan(one, carry, None, length=flow_steps)

@@ -344,3 +344,34 @@ class TestShardedRSWVariants:
         got = np.asarray(sh.fields(sh.shard_solution(sol0)))
         scale = np.abs(want).max()
         np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4)
+
+
+@needs_8
+def test_sharded_taps_gather_frame():
+    """gather='taps' in the sharded coupled frame (grid >> ensemble regime)
+    matches the patch-path trajectories and the replicated taps path."""
+    g, model, sol0, psih_fn = _setup_swqg()
+    mesh = make_mesh(8)
+    from juliaraytracingsw_tpu.parallel.sharded import ShardedSWQG
+
+    sh = ShardedSWQG(g, model.params, mesh, dt=DT)
+    k0 = float(np.sqrt(3.0) * F0 / CG)
+    rp_t = RayParams(f=F0, Cg=CG, x0=float(g.x[0]), y0=float(g.y[0]),
+                     dx=g.dx, dy=g.dy, gather="taps")
+    packets = lattice_packets(8, g.Lx, g.Ly, k0=k0, k_ring=True)
+    init_s, _ = sh.stepper()
+    sol_s = sh.shard_solution(sol0)
+    pk_s = shard_packets(packets, mesh)
+    frame_t = sh.make_coupled_frame(rp_t, 5, k_cutoff=100.0 * F0 / CG, k0=k0)
+    _, clock_t, _, pk_t = frame_t(sol_s, zero_clock(), init_s(sol_s), pk_s)
+    frame_p = sh.make_coupled_frame(rp_t._replace(gather="patch"), 5,
+                                    k_cutoff=100.0 * F0 / CG, k0=k0)
+    _, _, _, pk_p = frame_p(sol_s, zero_clock(), init_s(sol_s), pk_s)
+    for a, b in zip((pk_t.x, pk_t.y, pk_t.k, pk_t.l),
+                    (pk_p.x, pk_p.y, pk_p.k, pk_p.l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+    assert int(clock_t.step) == 5
+    # overlap requires patch
+    with pytest.raises(ValueError, match="patch"):
+        sh.make_coupled_frame(rp_t, 5, overlap=True)
