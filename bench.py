@@ -207,30 +207,40 @@ def main():
           file=sys.stderr)
 
     # --- fwd+bwd step time (differentiable hero step) ----------------------
+    # Gradient workloads pin JRSW_FUSED=off: the fused kernel's custom VJP
+    # measured 115 ms vs the chunked-XLA AD backward's 70 ms on this step
+    # (docs/PERFORMANCE.md) — forward-only throughput uses the kernel,
+    # training uses the chunked path.
     from juliaraytracingsw_tpu.rays.raytrace import raytrace
 
     grid, model = grids[512], models[512]
     init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
     psih_fn = psih_maker(grid, model.params)
     sol = sols[512]
+    os.environ["JRSW_FUSED"] = "off"
+    jax.clear_caches()
+    try:
+        @jax.jit
+        def grad_step(sol, pkts, c):
+            def loss(s):
+                s = s * (1.0 + 1e-12 * c)
+                fields_old = fields_from_psih(psih_fn(s), grid, rp.interp)
+                s1, c1, st1 = step_fn(s, zero_clock(), init_fn(s))
+                fields_new = fields_from_psih(psih_fn(s1), grid, rp.interp)
+                out = raytrace(pkts, fields_old, fields_new, 0.0, dt, rp,
+                               nsubsteps=1)
+                return jnp.mean(out.k**2 + out.l**2)
 
-    @jax.jit
-    def grad_step(sol, pkts, c):
-        def loss(s):
-            s = s * (1.0 + 1e-12 * c)
-            fields_old = fields_from_psih(psih_fn(s), grid, rp.interp)
-            s1, c1, st1 = step_fn(s, zero_clock(), init_fn(s))
-            fields_new = fields_from_psih(psih_fn(s1), grid, rp.interp)
-            out = raytrace(pkts, fields_old, fields_new, 0.0, dt, rp,
-                           nsubsteps=1)
-            return jnp.mean(out.k**2 + out.l**2)
+            return jax.value_and_grad(loss)(sol)
 
-        return jax.value_and_grad(loss)(sol)
-
-    t, sp = _timeit_unique(lambda c: grad_step(sol, packets, jnp.float32(c)),
-                           warmup=1, iters=3, trials=2)
-    record("hero_fwd_bwd_step_s", t, sp,
-           f"hero fwd+bwd step: {t * 1e3:.1f} ms")
+        t, sp = _timeit_unique(
+            lambda c: grad_step(sol, packets, jnp.float32(c)),
+            warmup=1, iters=3, trials=2)
+        record("hero_fwd_bwd_step_s", t, sp,
+               f"hero fwd+bwd step (JRSW_FUSED=off): {t * 1e3:.1f} ms")
+    finally:
+        del os.environ["JRSW_FUSED"]
+        jax.clear_caches()
 
     # --- long-horizon backward: grad through 100 coupled 512^2 steps --------
     # VERDICT r3 item 5 asked for a patch-path backward competitive with
@@ -291,7 +301,16 @@ def main():
     merged.update(results)
     merged["best_hero_rays_per_s"] = max(best, rays_per_s)
     merged["note"] = (
-        "round 4: hero 3.05e7 -> 4.73e7 (+55%) from two stacked levers: "
+        "round 4 late addendum: the Mosaic probe found the environment "
+        "FIXED (PALLAS_PROBE_r4.md) — the fused ray-substep kernel "
+        "(ops/pallas_ray_step) compiles and runs on hardware for the "
+        "first time, measured +9% end-to-end over the chunked XLA path "
+        "and promoted to the TPU default (JRSW_FUSED=auto): hero 5.16e7, "
+        "f32 4.49e7, bspline 3.95e7 (+43%: wide rows gain most). "
+        "Gradient workloads keep JRSW_FUSED=off (kernel VJP 115 ms vs "
+        "70 ms chunked AD backward on the 1M fwd+bwd step). "
+        "Main round-4 story: hero 3.05e7 -> 4.73e7 (+55%) from two "
+        "stacked levers: "
         "(a) bf16 pair tables promoted to the production default (item 2; "
         "+15% alone, divergence quantified: worst packet 0.019 cells / "
         "0.13% |k| after 500 steps, prof_bf16_divergence.py), and (b) the "

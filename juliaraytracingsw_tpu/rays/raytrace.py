@@ -448,27 +448,36 @@ def _patch_impl() -> str:
 
 
 def _fused_impl(rp: RayParams, method: str) -> str | None:
-    """Opt-in fused-substep implementation (ops/pallas_ray_step) for the
-    patch path; None (default) keeps the per-stage jnp sampler. Controlled
-    by JRSW_FUSED = off (default) | pallas | interpret | jnp | auto.
+    """Fused-substep implementation (ops/pallas_ray_step) for the patch
+    path. Controlled by JRSW_FUSED = auto (default) | pallas | interpret |
+    jnp | off.
 
-    Off by default on purpose: on this repo's tunneled dev TPU, Mosaic
-    custom-calls never finish compiling (even a trivial pallas_call hangs
-    >20 min), and the jnp twin's transposed layout measured 17x SLOWER than
-    the per-stage path (602 ms vs 35 ms per 1M-packet substep) — XLA
-    lowers the 320 sublane slices to unfused HBM passes. On a directly
-    attached TPU, JRSW_FUSED=pallas enables the real kernel. Read at trace
-    time: set before the first raytrace call (tests jax.clear_caches())."""
+    'auto' resolves to the real Mosaic kernel on TPU backends and to None
+    (the per-stage chunked XLA path) elsewhere — the jnp twin's transposed
+    layout measured 17x SLOWER than the per-stage path on CPU/XLA (602 vs
+    35 ms per 1M-packet substep), so it is never an auto choice.
+
+    History: rounds 2-3 shipped the kernel hardware-unvalidated because
+    Mosaic could not compile on the tunneled dev TPU (PALLAS_PROBE_r3.md);
+    the round-4 re-probe found the environment fixed (PALLAS_PROBE_r4.md)
+    and the kernel measured +11% end-to-end over the chunked XLA default
+    on the 1M-packet hero (100.0 vs 110.9 ms/frame, trajectories equal to
+    2.7e-7 relative) — promoted to the TPU default. Read at trace time:
+    set before the first raytrace call (tests jax.clear_caches())."""
     import os
 
-    mode = os.environ.get("JRSW_FUSED", "off")
+    mode = os.environ.get("JRSW_FUSED", "auto")
     # the fused kernel implements the bilinear/bspline separable-weight
     # stage math only; bicubic's per-block Hermite weights stay on the
     # jnp sampler path
     if (mode == "off" or method != "rk4"
             or rp.interp not in ("bilinear", "bspline")):
         return None
-    return mode  # 'auto' resolves inside make_fused_substep
+    if mode == "auto":
+        from ..ops.pallas_ray_step import tpu_available
+
+        return "pallas" if tpu_available() else None
+    return mode
 
 
 def _raytrace_taps(packets, fields_old, fields_new, t0, t1, rp: RayParams,
