@@ -206,41 +206,36 @@ def main():
           f"{int(info['n_rejected'])} rejected attempts per flow interval",
           file=sys.stderr)
 
-    # --- fwd+bwd step time (differentiable hero step) ----------------------
-    # Gradient workloads pin JRSW_FUSED=off: the fused kernel's custom VJP
-    # measured 115 ms vs the chunked-XLA AD backward's 70 ms on this step
-    # (docs/PERFORMANCE.md) — forward-only throughput uses the kernel,
-    # training uses the chunked path.
+    # --- fwd+bwd step time (differentiable hero step, full defaults) -------
+    # The fused kernel's custom VJP linearizes the NORMAL-layout per-stage
+    # formulation (ops/pallas_ray_step bwd), measured at parity with the
+    # chunked-XLA AD backward (70.9 vs 70.1 ms) — so the gradient row runs
+    # the same defaults as the forward rows.
     from juliaraytracingsw_tpu.rays.raytrace import raytrace
 
     grid, model = grids[512], models[512]
     init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
     psih_fn = psih_maker(grid, model.params)
     sol = sols[512]
-    os.environ["JRSW_FUSED"] = "off"
-    jax.clear_caches()
-    try:
-        @jax.jit
-        def grad_step(sol, pkts, c):
-            def loss(s):
-                s = s * (1.0 + 1e-12 * c)
-                fields_old = fields_from_psih(psih_fn(s), grid, rp.interp)
-                s1, c1, st1 = step_fn(s, zero_clock(), init_fn(s))
-                fields_new = fields_from_psih(psih_fn(s1), grid, rp.interp)
-                out = raytrace(pkts, fields_old, fields_new, 0.0, dt, rp,
-                               nsubsteps=1)
-                return jnp.mean(out.k**2 + out.l**2)
 
-            return jax.value_and_grad(loss)(sol)
+    @jax.jit
+    def grad_step(sol, pkts, c):
+        def loss(s):
+            s = s * (1.0 + 1e-12 * c)
+            fields_old = fields_from_psih(psih_fn(s), grid, rp.interp)
+            s1, c1, st1 = step_fn(s, zero_clock(), init_fn(s))
+            fields_new = fields_from_psih(psih_fn(s1), grid, rp.interp)
+            out = raytrace(pkts, fields_old, fields_new, 0.0, dt, rp,
+                           nsubsteps=1)
+            return jnp.mean(out.k**2 + out.l**2)
 
-        t, sp = _timeit_unique(
-            lambda c: grad_step(sol, packets, jnp.float32(c)),
-            warmup=1, iters=3, trials=2)
-        record("hero_fwd_bwd_step_s", t, sp,
-               f"hero fwd+bwd step (JRSW_FUSED=off): {t * 1e3:.1f} ms")
-    finally:
-        del os.environ["JRSW_FUSED"]
-        jax.clear_caches()
+        return jax.value_and_grad(loss)(sol)
+
+    t, sp = _timeit_unique(
+        lambda c: grad_step(sol, packets, jnp.float32(c)),
+        warmup=1, iters=3, trials=2)
+    record("hero_fwd_bwd_step_s", t, sp,
+           f"hero fwd+bwd step: {t * 1e3:.1f} ms")
 
     # --- long-horizon backward: grad through 100 coupled 512^2 steps --------
     # VERDICT r3 item 5 asked for a patch-path backward competitive with
@@ -307,8 +302,10 @@ def main():
         "first time, measured +9% end-to-end over the chunked XLA path "
         "and promoted to the TPU default (JRSW_FUSED=auto): hero 5.16e7, "
         "f32 4.49e7, bspline 3.95e7 (+43%: wide rows gain most). "
-        "Gradient workloads keep JRSW_FUSED=off (kernel VJP 115 ms vs "
-        "70 ms chunked AD backward on the 1M fwd+bwd step). "
+        "The kernel VJP initially measured 115 ms vs 70 ms chunked on the "
+        "1M fwd+bwd step; rerouting its backward through the "
+        "normal-layout per-stage linearization reached parity (70.9 ms) "
+        "so the defaults serve gradients too. "
         "Main round-4 story: hero 3.05e7 -> 4.73e7 (+55%) from two "
         "stacked levers: "
         "(a) bf16 pair tables promoted to the production default (item 2; "

@@ -237,12 +237,26 @@ def make_fused_substep(rp, interp: str, da: float, block: int = 2048,
         return fused(rows_T, st, scal), (rows_T, st, scal)
 
     def bwd(res, g):
+        # Linearize the NORMAL-layout per-stage formulation (the production
+        # patch sampler on (N, 2W) rows) instead of the (2W, N)-transposed
+        # jnp twin: the twin's sublane-sliced layout lowers to unfused HBM
+        # passes and made the kernel's fwd+bwd 115 ms vs 70 ms for the
+        # chunked path on the 1M hero step. The two formulations compute
+        # identical values (pinned by tests), so their VJPs agree to FP.
         rows_T, st, scal = res
-        _, vjp = jax.vjp(
-            lambda r, s, c: substep_jnp(r, s, c, cfg=cfg, interp=interp,
-                                        da=da, x0=rp.x0, y0=rp.y0),
-            rows_T, st, scal,
-        )
+
+        def f(rows_T_, st_, scal_):
+            from ..rays.packets import Packets
+            from ..rays.raytrace import _patch_sampler_from_rows, _step
+
+            rows = rows_T_.T
+            x, y, kk, ll, sgn, bx, by = (st_[i] for i in range(7))
+            p = Packets(x, y, kk, ll, sgn)
+            sample = _patch_sampler_from_rows(rows, bx, by, rp)
+            out = _step(p, sample, scal_[0], da, scal_[1], rp, "rk4")
+            return jnp.stack([out.x, out.y, out.k, out.l])
+
+        _, vjp = jax.vjp(f, rows_T, st, scal)
         return vjp(g)
 
     fused.defvjp(fwd, bwd)
