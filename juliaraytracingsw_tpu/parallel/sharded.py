@@ -288,7 +288,13 @@ class ShardedSpectralModel:
         the collective with the ray gather/VPU work (SURVEY.md §2.7
         "flow/ray overlap"). A final catch-up interval after the scan makes
         the trajectories IDENTICAL to the sequential frame — same field
-        pairs, same order — pinned by tests/test_sharded_rsw.py."""
+        pairs, same order — pinned by tests/test_sharded_rsw.py.
+
+        With the fused Pallas substep default (JRSW_FUSED=auto on TPU) the
+        kernel runs on the data-parallel packet shards; hardware-validated
+        on a 1-device mesh (scripts/hw_validation.md). On multi-chip
+        meshes, if the partitioner rejects the custom call, set
+        JRSW_FUSED=off — the chunked XLA path is within ~11%."""
         from ..rays.raytrace import _raytrace_taps, _use_patch
 
         g = self.grid

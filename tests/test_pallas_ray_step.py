@@ -95,8 +95,11 @@ def test_interpret_kernel_custom_vjp_matches_twin_grad():
 
     g_twin = jax.grad(lambda r: loss(twin, r))(rows_T)
     g_kern = jax.grad(lambda r: loss(kern, r))(rows_T)
+    # the kernel's VJP linearizes the NORMAL-layout per-stage formulation
+    # (round 4 — parity with the chunked backward, see ops/pallas_ray_step
+    # bwd), which differs from the twin's AD by FP association only
     np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_twin),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("interp", ["bilinear", "bspline"])
