@@ -33,7 +33,7 @@ from ..core.steppers import Clock, zero_clock
 from ..models.base import Model, build_stepper
 from ..rays.packets import Packets
 from ..rays.patch import build_patch_table
-from ..rays.raytrace import (
+from ..rays.raytrace import (  # noqa: F401 (resolve_gather re-exported use)
     RayParams,
     _table_impl,
     _use_patch,
@@ -44,6 +44,7 @@ from ..rays.raytrace import (
     raytrace_adaptive,
     raytrace_tables,
     raytrace_tables_fb,
+    resolve_gather,
     sample_gradients,
     sample_velocity,
 )
@@ -103,6 +104,7 @@ def make_coupled_frame(
     remat: bool = False,
     birth_death: dict | None = None,
     ray_opts: dict | None = None,
+    n_packets: int | None = None,
 ):
     """Jitted frame: ``flow_steps`` interleaved flow/ray steps.
 
@@ -131,6 +133,14 @@ def make_coupled_frame(
     many coupled steps are the long-context problem here).
     """
     grid = model.grid
+    if rp.gather == "auto":
+        # measured patch-vs-taps crossover (rays/raytrace.resolve_gather);
+        # needs the ensemble size at frame-build time
+        if n_packets is None:
+            raise ValueError(
+                "rp.gather='auto' requires n_packets= so the frame can "
+                "resolve the patch-vs-taps crossover at build time")
+        rp = resolve_gather(rp, n_packets, grid.ny, grid.nx)
     adaptive = ray_method in ("adaptive", "adaptive7")
     # the adaptive integrator builds its own patch tables from the fields
     use_patch = _use_patch(rp) and not adaptive

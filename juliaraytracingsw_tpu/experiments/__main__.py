@@ -105,9 +105,12 @@ def _add_packets(p: argparse.ArgumentParser):
     p.add_argument("--ray-max-steps", type=int, default=32)
     p.add_argument("--interp", default="bilinear",
                    choices=["bilinear", "bspline", "bicubic"])
-    p.add_argument("--gather", default="patch",
-                   choices=["patch", "taps"],
-                   help="ray interpolation strategy: 'patch' (pair-table "
+    p.add_argument("--gather", default="auto",
+                   choices=["auto", "patch", "taps"],
+                   help="ray interpolation strategy: 'auto' (default since "
+                        "round 5) picks per run from the measured crossover "
+                        "(rays/raytrace.resolve_gather: patch iff "
+                        "8*packets >= grid cells); 'patch' (pair-table "
                         "gather, fastest for production-sized ensembles) "
                         "or 'taps' (per-stage tap gathers — wins when the "
                         "grid is much larger than the ensemble, e.g. "
@@ -354,7 +357,7 @@ def cmd_rsw(args):
     from ..coupled.initial_conditions import band_geo_wave_ic, front_ic
     from ..models import linborg, modified_sw, quadheight, rsw
     from ..rays.packets import lattice_packets
-    from ..rays.raytrace import RayParams
+    from ..rays.raytrace import RayParams, resolve_gather
     from ..core.spectral import rfft2, irfft2
     import jax.numpy as jnp
 
@@ -405,6 +408,7 @@ def cmd_rsw(args):
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
                    table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, args.sqrt_npackets ** 2, grid.ny, grid.nx)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -432,7 +436,7 @@ def cmd_swqg(args):
     from ..coupled.initial_conditions import random_band_psih
     from ..models import swqg
     from ..rays.packets import lattice_packets
-    from ..rays.raytrace import RayParams
+    from ..rays.raytrace import RayParams, resolve_gather
 
     grid, dt, nu, rng = _setup(args)
     args.dt = dt
@@ -445,6 +449,7 @@ def cmd_swqg(args):
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
                    table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, args.sqrt_npackets ** 2, grid.ny, grid.nx)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -466,18 +471,86 @@ def cmd_swqg(args):
     _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags, "swqg")
 
 
+def _run_multilayer(args, grid, dt, nu, rng, f, Cg, U, mu):
+    """n-layer (>2) path of the ``twolayer`` command: the general
+    MultiLayerQG model (models/multilayerqg, the GeophysicalFlows
+    MultiLayerQG equivalent the reference drivers build problems from) with
+    data-parallel packets advected by the depth-weighted barotropic mean
+    streamfunction; ``--sharded`` runs it on ShardedMultiLayerQG (VERDICT
+    r4 item 7)."""
+    from ..coupled.initial_conditions import random_band_psih
+    from ..models import multilayerqg as mlqg
+    from ..rays.packets import lattice_packets
+    from ..rays.raytrace import RayParams, resolve_gather
+    import jax.numpy as jnp
+
+    if args.ic_file:
+        raise SystemExit("--ic-file is two-layer-only (its reference layout "
+                         "stores exactly two layers)")
+    if args.baroclinic:
+        raise SystemExit("--baroclinic is two-layer-only; the n-layer path "
+                         "advects with the depth-weighted barotropic mean")
+    n = args.nlayers
+    # equal-depth n-layer generalisation of TwoLayerQG's coupling
+    # F = 2 f0^2/(Cg^2 drho/rho0) (swqg/TwoLayerQG.jl:23-30): shear spread
+    # linearly from +U to -U, F/2 per interface
+    F = 2.0 * f * f / (Cg * Cg) / args.drho_rho0
+    Us = tuple(float(u) for u in np.linspace(U, -U, n))
+    model = mlqg.make_model(grid, U=Us, beta=0.0, mu=mu, nu=nu,
+                            nnu=args.nnu, Fcoup=tuple(F / 2.0 for _ in
+                                                      range(n - 1)))
+    psih0 = jnp.stack([
+        random_band_psih(grid, rng, kband=tuple(args.Kg), amp=args.ag)
+        for _ in range(n)])
+    sol0 = mlqg.pv_from_streamfunction(psih0, grid, model.params)
+    w = np.asarray(model.params.delta, np.float32)
+
+    def psih_fn(s):
+        psih = mlqg.streamfunction_from_pv(s, grid, model.params)
+        return jnp.tensordot(jnp.asarray(w), psih, axes=(0, 0))
+
+    rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
+                   dx=grid.dx, dy=grid.dy, interp=args.interp,
+                   table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, args.sqrt_npackets ** 2, grid.ny, grid.nx)
+    packets = lattice_packets(
+        args.sqrt_npackets, grid.Lx, grid.Ly,
+        k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
+        k_ring=args.k_ring,
+    )
+    diags = {
+        "kinetic_energy": lambda s, g, p: np.asarray(
+            mlqg.kinetic_energy(s, g, p)),
+        "potential_energy": lambda s, g, p: np.asarray(
+            mlqg.potential_energy(s, g, p)),
+    }
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedMultiLayerQG
+
+        sh = ShardedMultiLayerQG(grid, model.params, make_mesh(), dt=dt,
+                                 interp=args.interp)
+        _run_coupled_sharded(args, sh, rp, sol0, packets, f, Cg, diags,
+                             f"{n}Lqg", model)
+        return
+    _run_coupled(args, model, psih_fn, rp, sol0, packets, f, Cg, diags,
+                 f"{n}Lqg")
+
+
 def cmd_twolayer(args):
     from ..coupled.driver import derive_nu
     from ..coupled.initial_conditions import random_band_psih
     from ..models import twolayerqg
     from ..rays.packets import lattice_packets
-    from ..rays.raytrace import RayParams
+    from ..rays.raytrace import RayParams, resolve_gather
     import jax.numpy as jnp
 
     grid, dt, nu, rng = _setup(args)
     args.dt = dt
     f, Cg = args.f, args.cg
     U, mu = args.U, args.mu
+    if args.nlayers > 2:
+        return _run_multilayer(args, grid, dt, nu, rng, f, Cg, U, mu)
     psih0 = None
     if args.ic_file:
         # production chain parity: TwoLayerSimulation writes the IC file,
@@ -539,6 +612,7 @@ def cmd_twolayer(args):
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
                    table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, args.sqrt_npackets ** 2, grid.ny, grid.nx)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
         k0=float(np.sqrt((args.omega0_over_f * f) ** 2 - f * f) / Cg),
@@ -592,7 +666,13 @@ def cmd_thomasyamada(args):
         out_dir=args.out_dir, base_filename=args.base_filename or "ty",
         max_writes=args.max_writes,
     )
-    sol, clock, diags = run_thomasyamada(cfg)
+    if args.sharded:
+        from ..coupled.ty_driver import run_thomasyamada_sharded
+        from ..parallel.mesh import make_mesh
+
+        sol, clock, diags = run_thomasyamada_sharded(cfg, make_mesh())
+    else:
+        sol, clock, diags = run_thomasyamada(cfg)
     ke, pe = thomasyamada.baroclinic_energy(sol, grid)
     print(f"done: t={float(clock.t):.3f} baroclinic KE={float(ke):.4g} "
           f"PE={float(pe):.4g} wave KE={diags['wave_ke'][-1]:.4g} "
@@ -606,7 +686,7 @@ def cmd_steady_raytracing(args):
     from ..models import swqg
     from ..rays.packets import lattice_packets
     from ..rays.raytrace import (RayParams, fields_from_psih, raytrace,
-                                 sample_velocity)
+                                 resolve_gather, sample_velocity)
 
     grid, dt, nu, rng = _setup(args)
     f, Cg = args.f, args.cg
@@ -626,6 +706,7 @@ def cmd_steady_raytracing(args):
     rp = RayParams(f=f, Cg=Cg / s, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
                    table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, args.sqrt_npackets ** 2, grid.ny, grid.nx)
     fields = fields_from_psih(psih, grid, args.interp)
     packets = lattice_packets(
         args.sqrt_npackets, grid.Lx, grid.Ly,
@@ -746,7 +827,7 @@ def cmd_single_wave(args):
     from ..coupled.single_wave import inject_single_wave
     from ..models import rsw
     from ..rays.packets import Packets
-    from ..rays.raytrace import RayParams
+    from ..rays.raytrace import RayParams, resolve_gather
 
     grid, dt, nu, rng = _setup(args)
     args.dt = dt
@@ -764,6 +845,7 @@ def cmd_single_wave(args):
     rp = RayParams(f=f, Cg=Cg, x0=float(grid.x[0]), y0=float(grid.y[0]),
                    dx=grid.dx, dy=grid.dy, interp=args.interp,
                    table_dtype=args.table_dtype, gather=args.gather)
+    rp = resolve_gather(rp, 2, grid.ny, grid.nx)
     k0 = float(np.asarray(grid.kr)[args.k0_idx])
     l0 = float(np.asarray(grid.l)[args.l0_idx])
     # rays launched at the envelope centre, carrying the injected wavevector,
@@ -1199,6 +1281,12 @@ def main(argv=None):
     p.add_argument("--ag", type=float, default=0.01)
     p.add_argument("--baroclinic", action="store_true",
                    help="advect packets with the baroclinic streamfunction")
+    p.add_argument("--nlayers", type=int, default=2,
+                   help=">2 switches to the general MultiLayerQG model "
+                        "(equal depths, shear spread +U..-U, F/2 per "
+                        "interface); packets ride the depth-weighted "
+                        "barotropic mean; works with --sharded "
+                        "(ShardedMultiLayerQG)")
     p.add_argument("--ic-file", default=None,
                    help="two-layer IC file (snapshots/ψh + params + "
                         "clock/dt layout, TwoLayerRaytracing.jl:162-182)")

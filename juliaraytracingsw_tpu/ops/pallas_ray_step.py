@@ -54,6 +54,29 @@ def tpu_available() -> bool:
         return False
 
 
+def _axis_weights_hermite(local, size, lo, scale):
+    """Hermite cubic per-axis weights as two lists of ``size`` vectors
+    (value basis h00/h01 and derivative basis h10/h11 scaled by the
+    physical cell size) — the kernel-layout twin of
+    rays/patch._axis_weights_hermite (same clips, same scaling)."""
+    j0 = jnp.clip(jnp.floor(local), -float(lo), float(size - lo - 2))
+    a = local - j0
+    a2, a3 = a * a, a * a * a
+    h00, h01 = 1.0 - 3.0 * a2 + 2.0 * a3, 3.0 * a2 - 2.0 * a3
+    h10, h11 = (a - 2.0 * a2 + a3) * scale, (a3 - a2) * scale
+    t = j0 + lo
+    wv, wd = [], []
+    for j in range(size):
+        v = jnp.where(t == float(j), h00, 0.0)
+        d = jnp.where(t == float(j), h10, 0.0)
+        if j >= 1:
+            v = v + jnp.where(t == float(j - 1), h01, 0.0)
+            d = d + jnp.where(t == float(j - 1), h11, 0.0)
+        wv.append(v)
+        wd.append(d)
+    return wv, wd
+
+
 def _axis_weights(local, size, lo, interp):
     """Per-axis tap weights as a list of ``size`` vectors, matching
     rays/patch._axis_weights_* (same clips/pieces) without iota masks —

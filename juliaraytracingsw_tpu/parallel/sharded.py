@@ -275,7 +275,8 @@ class ShardedSpectralModel:
                            ray_substeps: int = 1, ray_method: str = "rk4",
                            k_cutoff: float | None = None,
                            k0: float | None = None,
-                           overlap: bool = False):
+                           overlap: bool = False,
+                           n_packets: int | None = None):
         """Jitted frame interleaving sharded flow steps with data-parallel
         ray substeps — the multi-chip equivalent of
         coupled.driver.make_coupled_frame.
@@ -295,10 +296,16 @@ class ShardedSpectralModel:
         on a 1-device mesh (scripts/hw_validation.md). On multi-chip
         meshes, if the partitioner rejects the custom call, set
         JRSW_FUSED=off — the chunked XLA path is within ~11%."""
-        from ..rays.raytrace import _raytrace_taps, _use_patch
+        from ..rays.raytrace import _raytrace_taps, _use_patch, resolve_gather
 
         g = self.grid
         ny, nx = g.ny, g.nx
+        if rp.gather == "auto":
+            if n_packets is None:
+                raise ValueError(
+                    "rp.gather='auto' requires n_packets= so the frame can "
+                    "resolve the patch-vs-taps crossover at build time")
+            rp = resolve_gather(rp, n_packets, ny, nx)
         use_patch = _use_patch(rp)
         if overlap and not use_patch:
             raise ValueError("overlap=True requires the patch gather path")

@@ -63,6 +63,7 @@ __all__ = [
     "raytrace_adaptive",
     "raytrace_tables",
     "raytrace_tables_fb",
+    "resolve_gather",
     "sample_velocity",
     "sample_gradients",
 ]
@@ -78,7 +79,9 @@ class RayParams(NamedTuple):
     dx: float
     dy: float
     interp: str = "bilinear"   # 'bilinear' | 'bspline' | 'bicubic'
-    gather: str = "patch"      # 'patch' (fast) | 'taps' (oracle)
+    # 'patch' (fast) | 'taps' (oracle) | 'auto' (measured crossover,
+    # resolved against (n_packets, grid) by resolve_gather below)
+    gather: str = "patch"
     # implicit-midpoint convergence control (ray_method='midpoint'): the
     # fixed-point solve iterates until the residual drops below
     # atol + rtol*|z| (mixed norm) or maxit — a true converged implicit
@@ -432,6 +435,30 @@ def _use_patch(rp: RayParams) -> bool:
     return rp.gather == "patch" and rp.interp in PATCH_SHAPES
 
 
+# Patch-vs-taps crossover (measured, docs/PERFORMANCE.md "Long-horizon
+# gradients" + scripts/hw_validation.md 2048^2 note): the patch path pays a
+# GRID-sized table build per flow step but its per-substep cost is one
+# N-row gather; the taps path is grid-build-free but pays per-stage tap
+# gathers + full-field blends. Anchors on the bench chip:
+#   512^2 (262k cells) + 1M packets   -> patch (hero, 5.2e7 ray-steps/s)
+#   512^2 + 262k packets              -> patch (ensemble262k row)
+#   2048^2 (4.2M cells) + 262k        -> taps (+190 ms/step vs patch)
+#   512^2 + 16k, 100-step gradients   -> taps (3.1 s vs 5.3 s patch)
+# All four honored by: patch iff CROSSOVER * n_packets >= grid cells.
+PATCH_TAPS_CROSSOVER = 8
+
+
+def resolve_gather(rp: RayParams, n_packets: int, ny: int, nx: int) -> RayParams:
+    """Replace ``gather='auto'`` with the measured-crossover concrete mode
+    (patch for ensemble-dominated runs, taps when the grid dwarfs the
+    ensemble). No-op for explicit 'patch'/'taps'."""
+    if rp.gather != "auto":
+        return rp
+    use_patch = (rp.interp in PATCH_SHAPES
+                 and PATCH_TAPS_CROSSOVER * int(n_packets) >= ny * nx)
+    return rp._replace(gather="patch" if use_patch else "taps")
+
+
 def _patch_impl() -> str:
     """Stage-math formulation for the patch sampler, JRSW_PATCH_IMPL:
     'pairsplit' (default): one (N,2,F,ph,pw) pass over the pair rows with
@@ -729,6 +756,7 @@ def raytrace(
     the embedded adaptive mode lives in raytrace_adaptive below).
     """
     _, ny, nx = fields_old.shape
+    rp = resolve_gather(rp, packets.x.shape[0], ny, nx)
     if _use_patch(rp):
         T_pair = build_pair(fields_old, fields_new, rp)
         return raytrace_tables_fb(packets, T_pair, fields_old, fields_new,
@@ -786,6 +814,7 @@ def raytrace_adaptive(
     production throughput mode; keep ``loop='scan'`` under ``jax.grad``.
     """
     _, ny, nx = fields_old.shape
+    rp = resolve_gather(rp, packets.x.shape[0], ny, nx)
     span = t1 - t0
     use_patch = _use_patch(rp)
     if use_patch:

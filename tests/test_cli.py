@@ -234,3 +234,51 @@ def test_sharded_checkpoint_restore_roundtrip(tmp_path):
         ke = np.asarray(f["kinetic_energy"])
     # the restored run continues from the checkpointed clock
     assert t[0] > 0.0 and np.isfinite(ke).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_thomasyamada_sharded_cli(tmp_path):
+    """thomasyamada --sharded runs both phases on ShardedThomasYamada with
+    the same outputs/diagnostics as the replicated two-phase driver
+    (VERDICT r4 item 7)."""
+    main(["thomasyamada", "--sharded", "--nx", "32", "--ty-dt", "1e-3",
+          "--startup-dt-factor", "2", "--startup-T", "0.01",
+          "--T", "0.01", "--output-dt", "0.005",
+          "--out-dir", str(tmp_path)])
+    assert os.path.exists(tmp_path / "startup.000000.h5")
+    assert os.path.exists(tmp_path / "ty.000000.h5")
+    with h5py.File(tmp_path / "diagnostics.h5", "r") as f:
+        assert np.isfinite(f["wave_ke"][()]).all()
+        assert np.isfinite(f["geo_ke"][()]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multilayer_sharded_cli(tmp_path):
+    """twolayer --nlayers 3 --sharded: the n-layer MultiLayerQG path on
+    ShardedMultiLayerQG, packets on the depth-weighted barotropic mean
+    (VERDICT r4 item 7)."""
+    out = tmp_path / "sh3l"
+    out.mkdir()
+    main(["twolayer", "--nlayers", "3", "--sharded", "--U", "0.1",
+          *_common(tmp_path, nx="32"), "--out-dir", str(out),
+          "--sqrt-npackets", "8"])
+    with h5py.File(out / "diagnostics.h5") as f:
+        ke = f["kinetic_energy"][()]
+        assert np.isfinite(ke).all() and ke.shape[-1] == 3
+
+
+def test_multilayer_replicated_cli(tmp_path):
+    """twolayer --nlayers 3 without --sharded uses the replicated
+    MultiLayerQG model end-to-end."""
+    out = tmp_path / "rep3l"
+    out.mkdir()
+    main(["twolayer", "--nlayers", "3", "--U", "0.1",
+          *_common(tmp_path, nx="32"), "--out-dir", str(out)])
+    with h5py.File(out / "diagnostics.h5") as f:
+        assert np.isfinite(f["kinetic_energy"][()]).all()
+
+
+def test_multilayer_rejects_twolayer_only_flags(tmp_path):
+    with pytest.raises(SystemExit, match="two-layer-only"):
+        main(["twolayer", "--nlayers", "3", "--baroclinic",
+              *_common(tmp_path, nx="32")])

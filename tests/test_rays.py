@@ -387,3 +387,50 @@ def test_chunked_stage_math_matches(monkeypatch):
     for a, b in zip(base[:4], chunked[:4]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_resolve_gather_auto_crossover():
+    """gather='auto' encodes the measured patch-vs-taps crossover (VERDICT
+    r4 item 4): 512^2+1M -> patch, 2048^2+262k -> taps, no flags needed."""
+    from juliaraytracingsw_tpu.rays.raytrace import resolve_gather
+
+    rp = RayParams(f=3.0, Cg=1.0, x0=0.0, y0=0.0, dx=0.1, dy=0.1,
+                   gather="auto")
+    # measured anchors (docs/PERFORMANCE.md, scripts/hw_validation.md)
+    assert resolve_gather(rp, 1 << 20, 512, 512).gather == "patch"
+    assert resolve_gather(rp, 262144, 512, 512).gather == "patch"
+    assert resolve_gather(rp, 262144, 2048, 2048).gather == "taps"
+    assert resolve_gather(rp, 16384, 512, 512).gather == "taps"
+    # explicit modes pass through untouched
+    for mode in ("patch", "taps"):
+        assert resolve_gather(rp._replace(gather=mode),
+                              1, 2048, 2048).gather == mode
+    # non-patch-capable interp never resolves to patch
+    # (every interp in PATCH_SHAPES is patch-capable; 'auto' with a huge
+    # ensemble picks patch only when supported)
+    rp_bicubic = rp._replace(interp="bicubic")
+    from juliaraytracingsw_tpu.rays.patch import PATCH_SHAPES
+    expect = "patch" if "bicubic" in PATCH_SHAPES else "taps"
+    assert resolve_gather(rp_bicubic, 1 << 20, 512, 512).gather == expect
+
+
+def test_raytrace_auto_gather_matches_explicit():
+    """raytrace with gather='auto' must integrate identically to the mode
+    it resolves to."""
+    from juliaraytracingsw_tpu.coupled.initial_conditions import random_band_psih
+
+    g = make_grid(32)
+    rng = np.random.default_rng(7)
+    fields_old = fields_from_psih(random_band_psih(g, rng, amp=0.05), g)
+    fields_new = fields_from_psih(
+        random_band_psih(g, np.random.default_rng(8), amp=0.05), g)
+    pk = lattice_packets(8, g.Lx, g.Ly, k0=6.0, k_ring=True)  # 64 pk, 1024 cells
+    base = RayParams(f=3.0, Cg=1.0, x0=float(g.x[0]), y0=float(g.y[0]),
+                     dx=g.dx, dy=g.dy)
+    auto = raytrace(pk, fields_old, fields_new, 0.0, 1e-2,
+                    base._replace(gather="auto"), nsubsteps=2)
+    # 64 packets vs 1024 cells -> 8*64 < 1024 -> taps
+    taps = raytrace(pk, fields_old, fields_new, 0.0, 1e-2,
+                    base._replace(gather="taps"), nsubsteps=2)
+    for a, b in zip(auto[:4], taps[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
