@@ -177,6 +177,9 @@ def main():
     rays_per_s, rp, packets, sim = hero(1024, "bilinear", "hero")
     hero(1024, "bilinear", "hero_f32", table_dtype="float32")
     hero(1024, "bspline", "hero_bspline")
+    # bicubic Hermite corner-data hero (round 5: bicubic runs through the
+    # fused kernel too — VERDICT r4 item 5)
+    hero(1024, "bicubic", "hero_bicubic", trials=2)
     hero(512, "bilinear", "ensemble262k")   # reference's largest real ensemble
     # 1024^2 coupled + 262k packets (BASELINE config 5 minus multi-host;
     # reference 1024^2 capacity: rsw/FroudeParameters.jl:4) and birth/death
@@ -205,6 +208,62 @@ def main():
     print(f"# hero_adaptive: {int(info['n_accepted'])} accepted / "
           f"{int(info['n_rejected'])} rejected attempts per flow interval",
           file=sys.stderr)
+
+    # --- sharded frame on a mesh of 1: the sharding-machinery tax ----------
+    # (VERDICT r4 item 8 + item 2 hardware leg: the fused Pallas substep is
+    # ACTIVE inside the sharded coupled frame here — JRSW_FUSED=auto
+    # resolves to the real kernel — so this row also proves the kernel
+    # under the shard_map/NamedSharding composition on hardware.)
+    from juliaraytracingsw_tpu.parallel.mesh import make_mesh, shard_packets
+    from juliaraytracingsw_tpu.parallel.sharded_rsw import ShardedRSW
+
+    grid512 = grids[512]
+    mesh1 = make_mesh(1)
+    shm = ShardedRSW(grid512, models[512].params, mesh1, dt=dt)
+    init_sh, _ = shm.stepper()
+    frame_sh = shm.make_coupled_frame(rp, flow_steps, ray_substeps=1,
+                                      k_cutoff=100.0 * f / Cg, k0=k0)
+    sol_sh = shm.shard_solution(sols[512])
+    state_sh = init_sh(sol_sh)
+    pk_sh = shard_packets(packets, mesh1)
+
+    def call_sh(c):
+        pk = pk_sh._replace(x=pk_sh.x + 1e-6 * c)
+        return frame_sh(sol_sh, zero_clock(), state_sh, pk)
+
+    t, sp = _timeit_unique(call_sh, warmup=2, iters=3, trials=2)
+    sh_rays = packets.n * flow_steps / t
+    record("hero_sharded1_rays_per_s_per_chip", sh_rays, sp,
+           f"hero_sharded1 (mesh of 1, fused kernel active): "
+           f"{sh_rays:.3e} ray-steps/s = {sh_rays / rays_per_s:.2f}x "
+           f"replicated hero")
+    results["hero_sharded1_vs_replicated"] = sh_rays / rays_per_s
+
+    # --- opt-in dft3 flow row (JRSW_FFT=dft3: BF16_X3 dense-DFT matmuls,
+    # ~1.9e-5 relative accuracy, prof_r5_flow_fft2.py) ----------------------
+    os.environ["JRSW_FFT"] = "dft3"
+    try:
+        grid, model = grids[512], models[512]
+        init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+        rng = np.random.default_rng(1)
+        sol3 = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
+                                aw=0.05, f=f, Cg=Cg)
+        state3 = init_fn(sol3)
+        steps_per_call = 20
+
+        @jax.jit
+        def chunk3(sol, clock, state, c):
+            sol = sol * (1.0 + 1e-12 * c)
+            return run(step_fn, sol, clock, state, steps_per_call)
+
+        t, sp = _timeit_unique(
+            lambda c: chunk3(sol3, zero_clock(), state3, jnp.float32(c)),
+            iters=4, trials=2)
+        record("rsw512_dft3_flow_steps_per_s", steps_per_call / t, sp,
+               f"rsw 512^2 flow (JRSW_FFT=dft3): "
+               f"{steps_per_call / t:.1f} steps/s")
+    finally:
+        del os.environ["JRSW_FFT"]
 
     # --- fwd+bwd step time (differentiable hero step, full defaults) -------
     # The fused kernel's custom VJP linearizes the NORMAL-layout per-stage

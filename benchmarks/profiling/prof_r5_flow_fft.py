@@ -80,8 +80,9 @@ def dft_irfft2(spec):
         "jm,cmk->cjk", Si2, Xi, precision=HI)
     Yi = jnp.einsum("jm,cmk->cjk", Cr2, Xi, precision=HI) + jnp.einsum(
         "jm,cmk->cjk", Si2, Xr, precision=HI)
-    # irfft along axis -1 with hermitian weights folded into (nx, nkr) tables
-    return jnp.einsum("cjk,nk->cjn", Yr, Ar, precision=HI) - jnp.einsum(
+    # irfft along axis -1 with hermitian weights folded into (nx, nkr)
+    # tables: out = sum_k w_k (Yr cos + Yi * (-sin)) / nx = Yr@Ar + Yi@Ai
+    return jnp.einsum("cjk,nk->cjn", Yr, Ar, precision=HI) + jnp.einsum(
         "cjk,nk->cjn", Yi, Ai, precision=HI)
 
 

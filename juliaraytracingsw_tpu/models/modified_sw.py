@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spectral import irfft2, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, rfft2,
+                             rfft2_dealiased)
 from .base import Model
 from .rsw import RSWParams
 
@@ -39,20 +40,20 @@ def build_L_modified(grid, params: RSWParams, decouple_eta: bool = False):
 def _modified_N(solh, grid, pressure_of_eta, flux_var: str):
     """Shared nonlinear RHS for Modified (prognostic eta) and QuadHeight
     (prognostic m) variants: advection + nonlinear pressure + flux."""
-    solh = grid.dealias(solh)
     uh, vh, hh = solh[0], solh[1], solh[2]
     ik, il = grid.ik, grid.il
     stack = jnp.stack([uh, vh, hh, ik * uh, il * uh, ik * vh, il * vh])
-    phys = irfft2(stack, grid.nx)
+    # dealiasing rides the folded transforms (round 5)
+    phys = irfft2_dealiased(stack, grid)
     u, v, h, ux, uy, vx, vy = (phys[i] for i in range(7))
 
     F = pressure_of_eta(h)
     prods = jnp.stack([u * ux + v * uy, u * vx + v * vy, F, h * u, h * v])
-    prodh = rfft2(prods)
+    prodh = rfft2_dealiased(prods, grid)
     Nu = -prodh[0] - ik * prodh[2]
     Nv = -prodh[1] - il * prodh[2]
     Nh = -(ik * prodh[3] + il * prodh[4])
-    return grid.dealias(jnp.stack([Nu, Nv, Nh]))
+    return jnp.stack([Nu, Nv, Nh])
 
 
 def make_model(grid, nu=1e-16, nnu=4, f=1.0, Cg=1.0, forcing=None) -> Model:

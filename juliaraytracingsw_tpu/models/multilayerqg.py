@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spectral import irfft2, parseval_sum, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, parseval_sum,
+                             rfft2, rfft2_dealiased)
 from .base import Model
 
 __all__ = ["MultiLayerParams", "make_model", "streamfunction_from_pv",
@@ -145,14 +146,19 @@ def make_model(
                           precision=jax.lax.Precision.HIGHEST)
 
     def calcN(solh, t):
-        qh = grid.dealias(solh)
+        qh = solh
         psih = psi_from_q(qh)
         ik, il = grid.ik, grid.il
         stack = jnp.concatenate([qh, ik * psih, il * psih])  # (3n, nl, nkr)
-        phys = irfft2(stack, grid.nx)
+        # dealiasing rides the folded transforms (round 5,
+        # core/spectral.rfft2_dealiased): masked modes are never computed
+        # on the TPU DFT backend; output ops are elementwise so no further
+        # dealias is needed
+        phys = irfft2_dealiased(stack, grid)
         q, psix, psiy = phys[0:n], phys[n:2 * n], phys[2 * n:3 * n]
-        prodh = rfft2(jnp.concatenate([psix * q, psiy * q]))
-        return grid.dealias(-il * prodh[0:n] + ik * prodh[n:2 * n])
+        prodh = rfft2_dealiased(jnp.concatenate([psix * q, psiy * q]),
+                                grid)
+        return -il * prodh[0:n] + ik * prodh[n:2 * n]
 
     model = Model(
         name="multilayerqg", grid=grid, params=params, L=L, calcN=calcN,

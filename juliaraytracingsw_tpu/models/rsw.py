@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import Grid
-from ..core.spectral import irfft2, parseval_sum2, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, parseval_sum2, rfft2,
+                             rfft2_dealiased)
 from .base import Model
 
 __all__ = [
@@ -82,8 +83,14 @@ def _advection_N(solh, grid: Grid, rotational_only: bool = False):
     Returns N = [-(u u_x + v u_y), -(u v_x + v v_y), -div(eta u)] in spectral
     space. With ``rotational_only`` the *advecting* velocity is replaced by
     its rotational (divergence-free) part (Linborg variant,
-    rsw/LinborgShallowWater.jl:155-237)."""
-    solh = grid.dealias(solh)
+    rsw/LinborgShallowWater.jl:155-237).
+
+    Dealiasing rides the folded transforms (round 5): the masked
+    irfft2/rfft2 pair applies the 2/3 truncation as part of the transform
+    itself — on the TPU DFT backend the masked modes are never computed
+    (core/spectral.rfft2_dealiased), elsewhere the mask multiply is
+    explicit. The output needs no further dealias: every post-transform op
+    here is an elementwise multiply, which commutes with the mask."""
     uh, vh, etah = solh[0], solh[1], solh[2]
     ik, il = grid.ik, grid.il
 
@@ -94,18 +101,18 @@ def _advection_N(solh, grid: Grid, rotational_only: bool = False):
         psirh = -zetah * grid.invKrsq
         fields += [-il * psirh, ik * psirh]
     stack = jnp.stack(fields)
-    phys = irfft2(stack, grid.nx)
+    phys = irfft2_dealiased(stack, grid)
     u, v, eta, ux, uy, vx, vy = phys[0], phys[1], phys[2], phys[3], phys[4], phys[5], phys[6]
     ua, va = (phys[7], phys[8]) if rotational_only else (u, v)
 
     prods = jnp.stack([ua * ux + va * uy, ua * vx + va * vy, eta * u, eta * v])
-    prodh = rfft2(prods)
+    prodh = rfft2_dealiased(prods, grid)
     Nu = -prodh[0]
     Nv = -prodh[1]
     Neta = -(ik * prodh[2] + il * prodh[3])
-    # dealias the output so the state stays in the truncated subspace
-    # (the reference dealias!-mutates sol in place, RotatingShallowWater.jl:141)
-    return grid.dealias(jnp.stack([Nu, Nv, Neta]))
+    # the state stays in the truncated subspace (the reference
+    # dealias!-mutates sol in place, RotatingShallowWater.jl:141)
+    return jnp.stack([Nu, Nv, Neta])
 
 
 def make_model(

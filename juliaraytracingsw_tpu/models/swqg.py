@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.grid import Grid
-from ..core.spectral import irfft2, parseval_sum, parseval_sum2, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, parseval_sum,
+                             parseval_sum2, rfft2, rfft2_dealiased)
 from .base import Model
 
 __all__ = ["SWQGParams", "make_model", "streamfunction_from_pv",
@@ -55,19 +56,23 @@ def make_model(
 
     def calcN(solh, t):
         """q_t nonlinear term: -J(psi, q) = -(psi_x q)_y + (psi_y q)_x."""
-        qh = grid.dealias(solh)
+        qh = solh
         psih = streamfunction_from_pv(qh, grid, params)
         ik, il = grid.ik, grid.il
         # one batched inverse FFT: q, psi_x, psi_y
         stack = jnp.stack([qh, ik * psih, il * psih])
-        q, psix, psiy = irfft2(stack, grid.nx)
+        # dealiasing rides the folded transforms (round 5,
+        # core/spectral.rfft2_dealiased): masked modes are never computed
+        # on the TPU DFT backend; output ops are elementwise so no further
+        # dealias is needed
+        q, psix, psiy = irfft2_dealiased(stack, grid)
         prods = jnp.stack([psix * q, psiy * q])
-        prodh = rfft2(prods)
+        prodh = rfft2_dealiased(prods, grid)
         # dealias the output too: the reference mutates sol in place
         # (dealias!(sol, grid), swqg/SWQG.jl:141) so the *state* stays in the
         # truncated subspace; in our pure-functional step the equivalent is
         # keeping N truncated (state stays truncated by induction).
-        return grid.dealias(-il * prodh[0] + ik * prodh[1])
+        return -il * prodh[0] + ik * prodh[1]
 
     return Model(
         name="swqg", grid=grid, params=params, L=D, calcN=calcN, nfields=1

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spectral import irfft2, parseval_sum2, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, parseval_sum2,
+                             rfft2, rfft2_dealiased)
 from .base import Model
 
 __all__ = [
@@ -61,7 +62,10 @@ def make_model(grid, nu=3.5e-25, nnu=8, Ro=0.2) -> Model:
             ik * pch,   # pc_x
             il * pch,   # pc_y
         ])
-        ph = irfft2(stack, grid.nx)
+        # input stays explicitly dealiased above: N has LINEAR terms in
+        # solh (wave coupling) that never pass through the folded
+        # transforms; the transforms themselves fold the mask (round 5)
+        ph = irfft2_dealiased(stack, grid)
         zt, ut, vt, uc, vc, ucy, vcx, uty, vtx, pcx, pcy = (
             ph[i] for i in range(11)
         )
@@ -76,7 +80,7 @@ def make_model(grid, nu=3.5e-25, nnu=8, Ro=0.2) -> Model:
             ut * vcx + uc * vtx,     # vc cross terms
             ut * pcx + vt * pcy,     # pressure advection
         ])
-        prodh = rfft2(prods)
+        prodh = rfft2_dealiased(prods, grid)
         utzt, vtzt = prodh[0], prodh[1]
         ucvc, uc2, vc2 = prodh[2], prodh[3], prodh[4]
         utuc, vtvc = prodh[5], prodh[6]
@@ -93,7 +97,7 @@ def make_model(grid, nu=3.5e-25, nnu=8, Ro=0.2) -> Model:
         Nuc = vch - 1j * k * pch - Ro * (1j * k * utuc + uc_cross)
         Nvc = -uch - 1j * l * pch - Ro * (1j * l * vtvc + vc_cross)
         Npc = -1j * k * uch - 1j * l * vch - Ro * pc_adv
-        return grid.dealias(jnp.stack([Nzt, Nuc, Nvc, Npc]))
+        return jnp.stack([Nzt, Nuc, Nvc, Npc])
 
     return Model(
         name="thomasyamada", grid=grid, params=params,

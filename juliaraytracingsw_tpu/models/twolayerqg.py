@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spectral import irfft2, parseval_sum, rfft2
+from ..core.spectral import (irfft2, irfft2_dealiased, parseval_sum,
+                             rfft2, rfft2_dealiased)
 from .base import Model
 
 __all__ = [
@@ -106,14 +107,19 @@ def make_model(
     def calcN(solh, t):
         """Per-layer q_t = -J(psi_j, q_j), conservative form, batched FFTs
         (swqg/TwoLayerQG.jl:152-182)."""
-        qh = grid.dealias(solh)
+        qh = solh
         psih = streamfunction_from_pv(qh, grid, params)
         ik, il = grid.ik, grid.il
         stack = jnp.concatenate([qh, ik * psih, il * psih])  # (6, nl, nkr)
-        phys = irfft2(stack, grid.nx)
+        # dealiasing rides the folded transforms (round 5,
+        # core/spectral.rfft2_dealiased): masked modes are never computed
+        # on the TPU DFT backend; output ops are elementwise so no further
+        # dealias is needed
+        phys = irfft2_dealiased(stack, grid)
         q, psix, psiy = phys[0:2], phys[2:4], phys[4:6]
-        prodh = rfft2(jnp.concatenate([psix * q, psiy * q]))
-        return grid.dealias(-il * prodh[0:2] + ik * prodh[2:4])
+        prodh = rfft2_dealiased(jnp.concatenate([psix * q, psiy * q]),
+                                grid)
+        return -il * prodh[0:2] + ik * prodh[2:4]
 
     return Model(
         name="twolayerqg", grid=grid, params=params, L=L, calcN=calcN, nfields=2

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..rays.patch import PATCH_SHAPES
 
-__all__ = ["make_fused_substep", "substep_jnp", "tpu_available"]
+__all__ = ["attempt_jnp", "make_fused_attempt", "make_fused_substep",
+           "n_channels", "substep_jnp", "tpu_available"]
 
 _RK4_STAGES = ((0.0, ()), (0.5, (0.5,)), (0.5, (0.0, 0.5)),
                (1.0, (0.0, 0.0, 1.0)))
@@ -114,13 +115,44 @@ def _axis_weights(local, size, lo, interp):
     raise ValueError(f"unsupported fused interp {interp!r}")
 
 
-def _substep_math(read_tap, x, y, kk, ll, sgn, a0, da, h, cfg, interp):
-    """One RK4 substep in patch-local coordinates. ``read_tap(t)`` abstracts
-    the data source (pallas VMEM ref vs jnp array) so the kernel and its
-    jnp twin are literally the same code. Positions x/y are PRE-SHIFTED to
-    the patch base (x - x0 - bx*dx), so local offsets are just q/d."""
+def n_channels(interp: str) -> int:
+    """Field channels in the patch table row: 5 base fields, x4 for the
+    bicubic [f|fx|fy|fxy] corner-data layout (rays/patch.py)."""
+    return 20 if interp == "bicubic" else 5
+
+
+def _make_sample(read_tap, cfg, interp):
+    """``sample(qx, qy, a) -> 5 field values`` over pre-gathered pair taps.
+    ``read_tap(t)`` abstracts the data source (pallas VMEM ref vs jnp
+    array) so the kernel and its jnp twin are literally the same code."""
     ph, pw, lo, W, dxg, dyg, f, Cg = cfg
     npp = ph * pw
+
+    if interp == "bicubic":
+        def sample(qx, qy, a):
+            # Hermite corner-data evaluation: 4 separable weight pairs for
+            # the [f, fx, fy, fxy] channel blocks (rays/patch.
+            # _hermite_block_weights, same clips and physical-unit scaling)
+            wxv, wxd = _axis_weights_hermite(qx / dxg, pw, lo, dxg)
+            wyv, wyd = _axis_weights_hermite(qy / dyg, ph, lo, dyg)
+            blocks = ((wyv, wxv), (wyv, wxd), (wyd, wxv), (wyd, wxd))
+            w_b = [[wy[jy] * wx[jx] for jy in range(ph) for jx in range(pw)]
+                   for wy, wx in blocks]
+            vals = []
+            for c in range(5):
+                vo = None
+                vn = None
+                for b in range(4):
+                    for t in range(npp):
+                        idx = (b * 5 + c) * npp + t
+                        ro = read_tap(idx) * w_b[b][t]
+                        rn = read_tap(W + idx) * w_b[b][t]
+                        vo = ro if vo is None else vo + ro
+                        vn = rn if vn is None else vn + rn
+                vals.append((1.0 - a) * vo + a * vn)
+            return vals
+
+        return sample
 
     def sample(qx, qy, a):
         wx = _axis_weights(qx / dxg, pw, lo, interp)
@@ -138,6 +170,16 @@ def _substep_math(read_tap, x, y, kk, ll, sgn, a0, da, h, cfg, interp):
                 vn = rn if vn is None else vn + rn
             vals.append((1.0 - a) * vo + a * vn)
         return vals
+
+    return sample
+
+
+def _substep_math(read_tap, x, y, kk, ll, sgn, a0, da, h, cfg, interp):
+    """One RK4 substep in patch-local coordinates. Positions x/y are
+    PRE-SHIFTED to the patch base (x - x0 - bx*dx), so local offsets are
+    just q/d."""
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    sample = _make_sample(read_tap, cfg, interp)
 
     def rhs(qx, qy, qk, ql, a):
         u, v, ux, uy, vx = sample(qx, qy, a)
@@ -220,7 +262,7 @@ def make_fused_substep(rp, interp: str, da: float, block: int = 2048,
     CPU tests), 'jnp' (the jnp twin — identical math, no pallas), or 'auto'
     (pallas on TPU backends, jnp elsewhere)."""
     ph, pw, lo = PATCH_SHAPES[interp]
-    W = 5 * ph * pw
+    W = n_channels(interp) * ph * pw
     if impl == "auto":
         impl = "pallas" if tpu_available() else "jnp"
     key = (rp, interp, float(da), block, impl)
@@ -283,5 +325,152 @@ def make_fused_substep(rp, interp: str, da: float, block: int = 2048,
         return vjp(g)
 
     fused.defvjp(fwd, bwd)
+    _CACHE[key] = fused
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# Fused embedded DP5(4) ATTEMPT (the adaptive production path's inner step)
+# ---------------------------------------------------------------------------
+
+def _attempt_math(read_tap, x, y, kk, ll, sgn, a0, dah, h, rtol, atol,
+                  cfg, interp):
+    """One embedded Dormand-Prince 5(4) attempt in patch-local coordinates
+    (twin of rays/raytrace.raytrace_adaptive's ``attempt``: same tableau,
+    same Hairer scaled-error components). Returns the 5th-order solution
+    plus the per-packet sum of squared scaled component errors."""
+    from ..rays.raytrace import _DP_A, _DP_B, _DP_B4, _DP_C
+
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    sample = _make_sample(read_tap, cfg, interp)
+
+    def rhs(qx, qy, qk, ql, a):
+        u, v, ux, uy, vx = sample(qx, qy, a)
+        om = sgn * jnp.sqrt(f * f + Cg * Cg * (qk * qk + ql * ql))
+        cg = (Cg * Cg) / om
+        return (u + cg * qk, v + cg * ql,
+                -(ux * qk + vx * ql), -(uy * qk - ux * ql))
+
+    ks = []
+    for ci, aij in zip(_DP_C, _DP_A):
+        qx, qy, qk, ql = x, y, kk, ll
+        for kprev, aa in zip(ks, aij):
+            if aa:
+                qx = qx + h * aa * kprev[0]
+                qy = qy + h * aa * kprev[1]
+                qk = qk + h * aa * kprev[2]
+                ql = ql + h * aa * kprev[3]
+        ks.append(rhs(qx, qy, qk, ql, a0 + ci * dah))
+
+    def lincomb(base, ws):
+        acc = [None] * 4
+        for kv, w in zip(ks, ws):
+            if w == 0.0:
+                continue
+            for i in range(4):
+                acc[i] = kv[i] * w if acc[i] is None else acc[i] + kv[i] * w
+        return [b + h * a for b, a in zip(base, acc)]
+
+    x5, y5, k5, l5 = lincomb((x, y, kk, ll), _DP_B)
+    be = tuple(b - b4 for b, b4 in zip(_DP_B, _DP_B4))
+    ex, ey, ek, el = lincomb((jnp.zeros_like(x),) * 4, be)
+
+    def comp(e, y_new, y_old):
+        sc = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
+        r = e / sc
+        return r * r
+
+    esum = (comp(ex, x5, x) + comp(ey, y5, y)
+            + comp(ek, k5, kk) + comp(el, l5, ll))
+    return x5, y5, k5, l5, esum
+
+
+def _attempt_kernel(rows_ref, st_ref, scal_ref, out_ref, *, cfg, interp,
+                    x0, y0):
+    ph, pw, lo, W, dxg, dyg, f, Cg = cfg
+    a0, dah, h = scal_ref[0], scal_ref[1], scal_ref[2]
+    rtol, atol = scal_ref[3], scal_ref[4]
+    x = st_ref[0:1, :]
+    y = st_ref[1:2, :]
+    kk = st_ref[2:3, :]
+    ll = st_ref[3:4, :]
+    sgn = st_ref[4:5, :]
+    bx = st_ref[5:6, :]
+    by = st_ref[6:7, :]
+    shx = x0 + bx * dxg
+    shy = y0 + by * dyg
+
+    def read_tap(t):
+        return rows_ref[t:t + 1, :]
+
+    x5, y5, k5, l5, esum = _attempt_math(
+        read_tap, x - shx, y - shy, kk, ll, sgn, a0, dah, h, rtol, atol,
+        cfg, interp)
+    out_ref[0:1, :] = x5 + shx
+    out_ref[1:2, :] = y5 + shy
+    out_ref[2:3, :] = k5
+    out_ref[3:4, :] = l5
+    out_ref[4:5, :] = esum
+
+
+def attempt_jnp(rows_T, st, scal, *, cfg, interp, x0, y0):
+    """jnp twin of the attempt kernel (same formulas/order)."""
+    x, y, kk, ll, sgn, bx, by = (st[i] for i in range(7))
+    a0, dah, h, rtol, atol = (scal[i] for i in range(5))
+    dxg, dyg = cfg[4], cfg[5]
+    shx = x0 + bx * dxg
+    shy = y0 + by * dyg
+
+    def read_tap(t):
+        return rows_T[t]
+
+    x5, y5, k5, l5, esum = _attempt_math(
+        read_tap, x - shx, y - shy, kk, ll, sgn, a0, dah, h, rtol, atol,
+        cfg, interp)
+    return jnp.stack([x5 + shx, y5 + shy, k5, l5, esum])
+
+
+def make_fused_attempt(rp, interp: str, block: int = 2048,
+                       impl: str = "auto"):
+    """Fused DP5(4) attempt callable for the adaptive production path:
+    ``f(rows_T (2W, N), st (7, N), scal (5,)[a0, dah, h, rtol, atol])
+    -> (5, N)`` = [x5, y5, k5, l5, per-packet squared-error sum].
+
+    FORWARD-ONLY (no custom VJP): the dispatch in raytrace_adaptive
+    restricts it to ``loop='while'`` — the production throughput mode that
+    is already not reverse-differentiable; ``loop='scan'`` under jax.grad
+    keeps the chunked jnp attempt."""
+    ph, pw, lo = PATCH_SHAPES[interp]
+    W = n_channels(interp) * ph * pw
+    if impl == "auto":
+        impl = "pallas" if tpu_available() else "jnp"
+    key = ("attempt", rp, interp, block, impl)
+    if key in _CACHE:
+        return _CACHE[key]
+    cfg = (ph, pw, lo, W, rp.dx, rp.dy, rp.f, rp.Cg)
+    if impl == "jnp":
+        fn = partial(attempt_jnp, cfg=cfg, interp=interp, x0=rp.x0, y0=rp.y0)
+        _CACHE[key] = fn
+        return fn
+    interpret = impl == "interpret"
+    kernel = partial(_attempt_kernel, cfg=cfg, interp=interp,
+                     x0=rp.x0, y0=rp.y0)
+
+    def fused(rows_T, st, scal):
+        n = rows_T.shape[1]
+        grid = (pl.cdiv(n, block),)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * W, block), lambda i: (0, i)),
+                pl.BlockSpec((7, block), lambda i: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((5, block), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((5, n), rows_T.dtype),
+            interpret=interpret,
+        )(rows_T, st, scal)
+
     _CACHE[key] = fused
     return fused

@@ -175,3 +175,80 @@ def test_apply_L_block_vs_diag():
     # manual einsum check
     yn = np.einsum("abml,bml->aml", np.asarray(L), np.asarray(x))
     np.testing.assert_allclose(np.asarray(y), yn, atol=1e-6)
+
+
+def test_dft_backend_matches_fft(monkeypatch):
+    """JRSW_FFT=dft (round 5: dense DFT-matmul transforms, the TPU auto
+    default at <=512^2 — prof_r5_flow_fft2.py measured 33.2 vs 47.8
+    us/transform) must match jnp.fft to f32 roundoff, both directions,
+    batched and single-field, including gradients."""
+    import jax
+
+    from juliaraytracingsw_tpu.core import spectral
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, 64, 64)), jnp.float32)
+    ref_f = jnp.fft.rfft2(x, axes=(-2, -1))
+    ref_i = jnp.fft.irfft2(ref_f, s=(64, 64), axes=(-2, -1))
+    monkeypatch.setenv("JRSW_FFT", "dft")
+    jax.clear_caches()
+    try:
+        got_f = jax.jit(spectral.rfft2)(x)
+        got_i = jax.jit(lambda s: spectral.irfft2(s, 64))(ref_f)
+        g = jax.grad(lambda s: float(0) + jnp.sum(
+            spectral.irfft2(s, 64) ** 2))(ref_f)
+    finally:
+        monkeypatch.delenv("JRSW_FFT")
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-5 * float(jnp.abs(ref_f).max()))
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.abs(np.asarray(g))).all()
+    # odd / non-square / oversized shapes fall back to jnp.fft untouched
+    y = jnp.asarray(rng.standard_normal((31, 33)), jnp.float32)
+    monkeypatch.setenv("JRSW_FFT", "dft")
+    try:
+        out = spectral.rfft2(y)
+    finally:
+        monkeypatch.delenv("JRSW_FFT")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.fft.rfft2(y, axes=(-2, -1))),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dft_backend_full_rsw_step(monkeypatch):
+    """A full IF-AB3 RSW step under JRSW_FFT=dft matches the FFT path
+    (the transforms are the only thing that changed)."""
+    import jax
+
+    from juliaraytracingsw_tpu.coupled.driver import derive_nu
+    from juliaraytracingsw_tpu.coupled.initial_conditions import band_geo_wave_ic
+    from juliaraytracingsw_tpu.core.steppers import zero_clock
+    from juliaraytracingsw_tpu.models import rsw
+    from juliaraytracingsw_tpu.models.base import build_stepper
+
+    g = make_grid(64)
+    dt = 1e-3
+    model = rsw.make_model(g, nu=derive_nu(1.0, 64, 4, dt), nnu=4,
+                           f=3.0, Cg=1.0)
+    sol0 = band_geo_wave_ic(g, np.random.default_rng(2), Kg=(4, 7),
+                            Kw=(0, 3), ag=0.3, aw=0.05, f=3.0, Cg=1.0)
+
+    def three_steps():
+        init_fn, step_fn = build_stepper(model, "IFMAB3", dt=dt)
+        sol, clock, st = sol0, zero_clock(), init_fn(sol0)
+        for _ in range(3):
+            sol, clock, st = step_fn(sol, clock, st)
+        return np.asarray(sol)
+
+    ref = three_steps()
+    monkeypatch.setenv("JRSW_FFT", "dft")
+    jax.clear_caches()
+    try:
+        got = three_steps()
+    finally:
+        monkeypatch.delenv("JRSW_FFT")
+        jax.clear_caches()
+    np.testing.assert_allclose(got, ref, rtol=2e-4,
+                               atol=2e-5 * np.abs(ref).max())
