@@ -355,35 +355,29 @@ def main():
     merged.update(results)
     merged["best_hero_rays_per_s"] = max(best, rays_per_s)
     merged["note"] = (
-        "round 4 late addendum: the Mosaic probe found the environment "
-        "FIXED (PALLAS_PROBE_r4.md) — the fused ray-substep kernel "
-        "(ops/pallas_ray_step) compiles and runs on hardware for the "
-        "first time, measured +9% end-to-end over the chunked XLA path "
-        "and promoted to the TPU default (JRSW_FUSED=auto): hero 5.16e7, "
-        "f32 4.49e7, bspline 3.95e7 (+43%: wide rows gain most). "
-        "The kernel VJP initially measured 115 ms vs 70 ms chunked on the "
-        "1M fwd+bwd step; rerouting its backward through the "
-        "normal-layout per-stage linearization reached parity (70.9 ms) "
-        "so the defaults serve gradients too. "
-        "Main round-4 story: hero 3.05e7 -> 4.73e7 (+55%) from two "
-        "stacked levers: "
-        "(a) bf16 pair tables promoted to the production default (item 2; "
-        "+15% alone, divergence quantified: worst packet 0.019 cells / "
-        "0.13% |k| after 500 steps, prof_bf16_divergence.py), and (b) the "
-        "NEW default lax.map packet chunking (JRSW_RAY_CHUNK=65536, item "
-        "4): chunk rows stay VMEM-resident across RK stages, killing most "
-        "of the 8-pass HBM re-read (+35% on top; full sweep in "
-        "prof_r4_chunk.py / docs/PERFORMANCE.md). All metrics min-of-N "
-        "trials with recorded <tag>_spread (item 6). Item 5 ablation "
-        "NEGATIVE: taps-formulation custom VJP measured 1.38 s vs 0.08 s "
-        "(1M fwd+bwd) and 12.6 s vs 5.3 s table / 3.1 s pure-taps (16k "
-        "bwd100); default backward stays the AD table transpose, "
-        "JRSW_PATCH_BWD=taps keeps the alternative pinned. hero_adaptive "
-        "= reference-parity adaptive at DifferentialEquations default "
-        "tolerances, while-loop early exit, 1 accept/0 reject per flow "
-        "interval (item 3; the adaptive attempt shares the chunked stage "
-        "math, +5.5%); hero1024/hero_bd cover BASELINE config 5 capacity "
-        "minus multi-host (item 7)."
+        "round 5: (1) flow side — JRSW_FFT dense-DFT-matmul backend + "
+        "dealias-FOLDED calcN transforms (masked modes sliced out of the "
+        "factor matrices, exact): rsw512 flow 1021 -> ~1575 steps/s "
+        "(+54%) at full f32 accuracy; rsw512_dft3 row = the quantified "
+        "BF16_X3 opt-in (~1.9e-5 rel, ~1750 steps/s); 1024^2 stays on the "
+        "XLA FFT (dense N^3 crossover, measured — prof_r5_flow_fft2.py). "
+        "(2) adaptive parity mode — the fused DP5(4) ATTEMPT kernel "
+        "(7 stages + Hairer error row in VMEM, loop='while'): "
+        "hero_adaptive 2.75e7 -> ~4.45e7 (+62%). (3) hero_bicubic = first "
+        "bicubic hero row (Hermite corner weights in-kernel). "
+        "(4) hero_sharded1 = the sharded coupled frame on a mesh of 1 "
+        "WITH the fused Pallas kernel active: 0.99x replicated — the "
+        "sharding-machinery tax is ~1% and the kernel survives the "
+        "shard_map/NamedSharding composition on hardware (VERDICT r4 "
+        "items 2+8). (5) gather-overlap ablation NEGATIVE and recorded: "
+        "in-kernel per-row DMA issues at 114-115 ns/row (K=8/32) vs "
+        "XLA's 19-22 ns/row take; sorted-window one-hot expansion wins "
+        "inside the gather (9.6 ms/1M rows) but sort+permute upkeep "
+        "costs more than it saves (argsort 5.8 ms + 17.5 ns/row narrow "
+        "permutes) — docs/PERFORMANCE.md round-5 section. Round-4 "
+        "context: hero defaults = bf16 pair tables + JRSW_RAY_CHUNK=65536 "
+        "+ fused Pallas substep (JRSW_FUSED=auto); backward = AD table "
+        "transpose; bwd100 optimum = pure taps at 16k packets."
     )
     with open(SELF_BASELINE_PATH, "w") as fh:
         json.dump(merged, fh, indent=1)
