@@ -673,7 +673,14 @@ def cmd_thomasyamada(args):
         sol, clock, diags = run_thomasyamada_sharded(cfg, make_mesh())
     else:
         sol, clock, diags = run_thomasyamada(cfg)
-    ke, pe = thomasyamada.baroclinic_energy(sol, grid)
+    # final-energy readout under jit with the state embedded as a HOST
+    # numpy constant: eager complex host<->device transfers are
+    # UNIMPLEMENTED on this TPU runtime (core/transfer.py policy)
+    import jax
+    from ..core.transfer import to_host
+
+    sol_np = np.ascontiguousarray(to_host(sol))
+    ke, pe = jax.jit(lambda: thomasyamada.baroclinic_energy(sol_np, grid))()
     print(f"done: t={float(clock.t):.3f} baroclinic KE={float(ke):.4g} "
           f"PE={float(pe):.4g} wave KE={diags['wave_ke'][-1]:.4g} "
           f"geo KE={diags['geo_ke'][-1]:.4g}")
