@@ -112,7 +112,13 @@ def main():
                                aw=0.05, f=f, Cg=Cg)
         state = init_fn(sol)
         clock = zero_clock()
-        steps_per_call = 20
+        # 200 steps/jitted call: at DFT-backend speeds (~350 us/step) the
+        # tunnel's ~5-6 ms per-call dispatch dominated the old 20-step
+        # chunks and under-reported throughput ~2x (prof_r5_step_decompose:
+        # scan-200 measures 2861 steps/s DFT vs 1451 XLA-FFT at 512^2);
+        # production frames run >=100 steps per jitted call, so the long
+        # chunk is the representative shape
+        steps_per_call = 200
 
         @jax.jit
         def chunk(sol, clock, state, c):
@@ -249,7 +255,7 @@ def main():
         sol3 = band_geo_wave_ic(grid, rng, Kg=(10, 13), Kw=(0, 5), ag=0.5,
                                 aw=0.05, f=f, Cg=Cg)
         state3 = init_fn(sol3)
-        steps_per_call = 20
+        steps_per_call = 200
 
         @jax.jit
         def chunk3(sol, clock, state, c):

@@ -44,8 +44,21 @@ __all__ = [
     "spectral_gradients",
 ]
 
-_DFT_MAX_NX = 512   # dense cost grows N^3 vs FFT's N^2 log N — measured
-                    # win at 512^2; 1024^2 stays on the XLA FFT (probe)
+_DFT_MAX_NX = 512        # plain transforms: dense cost grows N^3 vs the
+                         # FFT's N^2 log N — wins at 512^2, loses 1.6x at
+                         # 1024^2 (prof_r5_flow_fft2.py)
+_DFT_FOLD_MAX_NX = 1024  # dealias-FOLDED transforms compute only the kept
+                         # 2/3 modes (~0.45x the matmuls): still ahead at
+                         # 1024^2 — 132 vs 143 us/transform HIGHEST, 70 us
+                         # dft3 (prof_r5_fold1024.py); 2048^2 loses.
+                         # JRSW_DFT_MAX_NX overrides both (probing).
+
+
+def _dft_max_nx(folded: bool = False) -> int:
+    env = os.environ.get("JRSW_DFT_MAX_NX")
+    if env is not None:
+        return int(env)
+    return _DFT_FOLD_MAX_NX if folded else _DFT_MAX_NX
 
 
 def _fft_impl() -> str:
@@ -96,13 +109,13 @@ def _dft_precision():
     return jax.lax.Precision.HIGHEST
 
 
-def _dft_supported(ny: int, nx: int, dtype) -> bool:
+def _dft_supported(ny: int, nx: int, dtype, folded: bool = False) -> bool:
     if _fft_impl() == "fft":
         return False
     if _fft_impl() == "auto" and not (jax.devices()
                                       and jax.devices()[0].platform == "tpu"):
         return False
-    return (nx == ny and nx % 2 == 0 and nx <= _DFT_MAX_NX
+    return (nx == ny and nx % 2 == 0 and nx <= _dft_max_nx(folded)
             and dtype in (jnp.float32, jnp.complex64))
 
 
@@ -182,7 +195,7 @@ def rfft2_dealiased(field: jax.Array, grid) -> jax.Array:
     forward transform (every model calcN)."""
     ny, nx = field.shape[-2], field.shape[-1]
     info = _fold_info(grid)
-    if info is None or not _dft_supported(ny, nx, field.dtype):
+    if info is None or not _dft_supported(ny, nx, field.dtype, folded=True):
         return grid.dealias(jnp.fft.rfft2(field, axes=(-2, -1)))
     a, b, nkx = info
     t = _dft_tables(ny, nx)
@@ -205,7 +218,7 @@ def irfft2_dealiased(fieldh: jax.Array, grid) -> jax.Array:
     folded out of the DFT matmuls (see rfft2_dealiased)."""
     ny, nx = fieldh.shape[-2], grid.nx
     info = _fold_info(grid)
-    if info is None or not _dft_supported(ny, nx, fieldh.dtype):
+    if info is None or not _dft_supported(ny, nx, fieldh.dtype, folded=True):
         return jnp.fft.irfft2(grid.dealias(fieldh), s=(ny, nx),
                               axes=(-2, -1))
     a, b, nkx = info
