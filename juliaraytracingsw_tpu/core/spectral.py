@@ -47,11 +47,12 @@ __all__ = [
 _DFT_MAX_NX = 512        # plain transforms: dense cost grows N^3 vs the
                          # FFT's N^2 log N — wins at 512^2, loses 1.6x at
                          # 1024^2 (prof_r5_flow_fft2.py)
-_DFT_FOLD_MAX_NX = 1024  # dealias-FOLDED transforms compute only the kept
-                         # 2/3 modes (~0.45x the matmuls): still ahead at
-                         # 1024^2 — 132 vs 143 us/transform HIGHEST, 70 us
-                         # dft3 (prof_r5_fold1024.py); 2048^2 loses.
-                         # JRSW_DFT_MAX_NX overrides both (probing).
+_DFT_FOLD_MAX_NX = 2048  # dealias-FOLDED transforms compute only the kept
+                         # 2/3 modes (~0.45x the matmuls): ahead at 1024^2
+                         # (132 vs 143 us/transform HIGHEST, 70 us dft3 —
+                         # prof_r5_fold1024.py) AND at 2048^2 (965 vs 1103
+                         # us/transform, 12.5%). JRSW_DFT_MAX_NX overrides
+                         # both gates (probing).
 
 
 def _dft_max_nx(folded: bool = False) -> int:
