@@ -104,6 +104,24 @@ def _dft_tables(ny: int, nx: int):
     return t
 
 
+def _dft1_tables(n: int):
+    """1-D c2c DFT factor matrices (cos, sin, icos, isin) for the sharded
+    slab transforms' distributed axis (parallel/fft.py); forward
+    unnormalised e^{-i}, inverse (icos/isin) e^{+i}/n."""
+    key = ("1d", n)
+    if key in _DFT_TABLES:
+        return _DFT_TABLES[key]
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
+    t = dict(
+        cos=np.cos(ang).astype(np.float32),
+        sin=np.sin(ang).astype(np.float32),
+        icos=(np.cos(ang) / n).astype(np.float32),
+        isin=(np.sin(ang) / n).astype(np.float32),
+    )
+    _DFT_TABLES[key] = t
+    return t
+
+
 def _dft_precision():
     if _fft_impl() == "dft3":
         return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3

@@ -28,6 +28,54 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.spectral import (_dft1_tables, _dft_precision, _dft_supported,
+                             _dft_tables, _mm2, _mmk)
+
+
+def _dense1_ok(n: int, dtype) -> bool:
+    """Use dense 1-D DFT matmuls for this axis length? Same JRSW_FFT knob
+    and <=512 gate as the replicated backend (round 5: the per-shard slab
+    transform pieces are full-length 1-D transforms, so the DFT-beats-FFT
+    result carries straight into the distributed path; no dealias folding
+    here: the kr axis is SHARDED, so kept-mode slicing would unbalance
+    the shards)."""
+    return _dft_supported(n, n, dtype)
+
+
+def _dense_rfft1(x, nx: int):
+    """jnp.fft.rfft(x, axis=-1) as two (nkr, nx) matmuls."""
+    t = _dft_tables(1, nx)
+    prec = _dft_precision()
+    return jax.lax.complex(_mmk(x, t["fr"], prec), _mmk(x, t["fi"], prec))
+
+
+def _dense_irfft1(z, nx: int):
+    """jnp.fft.irfft(z, n=nx, axis=-1) (hermitian-weighted) as matmuls."""
+    t = _dft_tables(1, nx)
+    prec = _dft_precision()
+    return (_mmk(jnp.real(z), t["iar"], prec)
+            + _mmk(jnp.imag(z), t["iai"], prec))
+
+
+def _dense_fft1_ax2(z, n: int):
+    """jnp.fft.fft(z, axis=-2) (forward c2c, e^{-i}) as matmuls."""
+    t = _dft1_tables(n)
+    prec = _dft_precision()
+    zr, zi = jnp.real(z), jnp.imag(z)
+    wr = _mm2(t["cos"], zr, prec) + _mm2(t["sin"], zi, prec)
+    wi = _mm2(t["cos"], zi, prec) - _mm2(t["sin"], zr, prec)
+    return jax.lax.complex(wr, wi)
+
+
+def _dense_ifft1_ax2(z, n: int):
+    """jnp.fft.ifft(z, axis=-2) (inverse c2c, e^{+i}/n) as matmuls."""
+    t = _dft1_tables(n)
+    prec = _dft_precision()
+    zr, zi = jnp.real(z), jnp.imag(z)
+    yr = _mm2(t["icos"], zr, prec) - _mm2(t["isin"], zi, prec)
+    yi = _mm2(t["icos"], zi, prec) + _mm2(t["isin"], zr, prec)
+    return jax.lax.complex(yr, yi)
+
 __all__ = ["slab_rfft2", "slab_irfft2", "slab_sharding_physical",
            "slab_sharding_spectral", "local_rfft2", "local_irfft2",
            "padded_nkr"]
@@ -63,10 +111,17 @@ def local_rfft2(f, nkr_pad: int, axis: str):
 
     f (..., ny/P, nx) y-slab shard -> (..., nl, nkr_pad/P) kr-column shard.
     """
-    fh = jnp.fft.rfft(f, axis=-1)
+    nx = f.shape[-1]
+    if _dense1_ok(nx, f.dtype):
+        fh = _dense_rfft1(f, nx)
+    else:
+        fh = jnp.fft.rfft(f, axis=-1)
     fh = _pad_to(fh, nkr_pad, -1)
     fh = jax.lax.all_to_all(fh, axis, split_axis=f.ndim - 1,
                             concat_axis=f.ndim - 2, tiled=True)
+    nl = fh.shape[-2]
+    if _dense1_ok(nl, fh.dtype):
+        return _dense_fft1_ax2(fh, nl)
     return jnp.fft.fft(fh, axis=-2)
 
 
@@ -76,10 +131,16 @@ def local_irfft2(fh, nx: int, axis: str):
     fh (..., nl, nkr_pad/P) kr-column shard -> (..., ny/P, nx) y-slab shard.
     """
     nkr = nx // 2 + 1
-    f = jnp.fft.ifft(fh, axis=-2)
+    nl = fh.shape[-2]
+    if _dense1_ok(nl, fh.dtype):
+        f = _dense_ifft1_ax2(fh, nl)
+    else:
+        f = jnp.fft.ifft(fh, axis=-2)
     f = jax.lax.all_to_all(f, axis, split_axis=fh.ndim - 2,
                            concat_axis=fh.ndim - 1, tiled=True)
     f = f[..., :nkr]
+    if _dense1_ok(nx, f.dtype):
+        return _dense_irfft1(f, nx)
     return jnp.fft.irfft(f, n=nx, axis=-1)
 
 
