@@ -271,6 +271,36 @@ def main():
     finally:
         del os.environ["JRSW_FFT"]
 
+    # --- 2048^2 two-layer QG flow (the reference's LARGEST production grid,
+    # swqg/TwoLayerParameters.jl:5): folded-DFT + 3M-Karatsuba default.
+    # The dft3 opt-in at this size is recorded in scripts/hw_validation.md
+    # (129.7 steps/s round 5) — kept out of bench to bound runtime. --------
+    from juliaraytracingsw_tpu.core.spectral import rfft2 as _rfft2
+    from juliaraytracingsw_tpu.models import twolayerqg
+
+    grid2k = make_grid(2048)
+    model2k = twolayerqg.make_model(grid2k, U=0.2, mu=1e-2,
+                                    nu=derive_nu(1.0, 2048, 4, dt), nnu=4)
+    init2k, step2k = build_stepper(model2k, "IFMAB3", dt=dt)
+    rng = np.random.default_rng(7)
+    phys2k = rng.standard_normal((2, 2048, 2048)).astype(np.float32)
+    sol2k = _rfft2(jnp.asarray(phys2k)) * grid2k.dealias_mask
+    sol2k = (0.3 * sol2k * jnp.exp(-grid2k.Krsq / 20.0**2)
+             / jnp.abs(sol2k).max()).astype(jnp.complex64)
+    steps2k = 40
+
+    @jax.jit
+    def chunk2k(sol, clock, state, c):
+        sol = sol * (1.0 + 1e-12 * c)
+        return run(step2k, sol, clock, state, steps2k)
+
+    t, sp = _timeit_unique(
+        lambda c: chunk2k(sol2k, zero_clock(), init2k(sol2k),
+                          jnp.float32(c)), iters=2, trials=2)
+    record("twolayer2048_flow_steps_per_s", steps2k / t, sp,
+           f"2048^2 two-layer QG flow: {steps2k / t:.1f} steps/s")
+    del sol2k, phys2k
+
     # --- fwd+bwd step time (differentiable hero step, full defaults) -------
     # The fused kernel's custom VJP linearizes the NORMAL-layout per-stage
     # formulation (ops/pallas_ray_step bwd), measured at parity with the
@@ -363,10 +393,14 @@ def main():
     merged["note"] = (
         "round 5: (1) flow side — JRSW_FFT dense-DFT-matmul backend + "
         "dealias-FOLDED calcN transforms (masked modes sliced out of the "
-        "factor matrices, exact): rsw512 flow 1021 -> ~1575 steps/s "
-        "(+54%) at full f32 accuracy; rsw512_dft3 row = the quantified "
-        "BF16_X3 opt-in (~1.9e-5 rel, ~1750 steps/s); 1024^2 stays on the "
-        "XLA FFT (dense N^3 crossover, measured — prof_r5_flow_fft2.py). "
+        "factor matrices, exact) + the 3-multiply Karatsuba c2c middle "
+        "stage (4 -> 3 matmuls, JRSW_DFT_3M=off restores): rsw512 flow "
+        "1451 (XLA FFT, 200-step chunks) -> ~3100 steps/s f32-exact; "
+        "rsw512_dft3 row = the quantified BF16_X3 opt-in (~1.9e-5 rel); "
+        "twolayer2048 row = the reference's largest grid, 72.6 -> 86.9 "
+        "steps/s default (129.7 dft3, scripts/hw_validation.md); plain "
+        "1024^2 transforms stay on the XLA FFT (dense N^3 crossover, "
+        "measured — prof_r5_flow_fft2.py). "
         "(2) adaptive parity mode — the fused DP5(4) ATTEMPT kernel "
         "(7 stages + Hairer error row in VMEM, loop='while'): "
         "hero_adaptive 2.75e7 -> ~4.45e7 (+62%). (3) hero_bicubic = first "

@@ -100,6 +100,9 @@ def _dft_tables(ny: int, nx: int):
         fcos=np.cos(ang2).astype(np.float32),
         fsin=(-np.sin(ang2)).astype(np.float32),
     )
+    # Karatsuba sums for the 3-multiply c2c middle stage (_cmul2)
+    t["ics"] = t["icos"] + t["isin"]
+    t["fcs"] = t["fcos"] + t["fsin"]
     _DFT_TABLES[key] = t
     return t
 
@@ -118,6 +121,10 @@ def _dft1_tables(n: int):
         icos=(np.cos(ang) / n).astype(np.float32),
         isin=(np.sin(ang) / n).astype(np.float32),
     )
+    # Karatsuba sums (_cmul2): forward kernel is cos - i*sin, inverse
+    # kernel is (cos + i*sin)/n
+    t["fks"] = t["cos"] - t["sin"]
+    t["iks"] = t["icos"] + t["isin"]
     _DFT_TABLES[key] = t
     return t
 
@@ -143,6 +150,31 @@ def _mm2(A, x, prec):
     return jnp.einsum("jm,...mk->...jk", A, x, precision=prec)
 
 
+def _use_3m() -> bool:
+    return os.environ.get("JRSW_DFT_3M", "on") != "off"
+
+
+def _cmul2(Ac, As, Asum, xr, xi, prec):
+    """(Ac + i As) @ (xr + i xi) over axis -2, returning (real, imag).
+
+    Default: the 3-multiply Karatsuba form — M1 = Ac@xr, M2 = As@xi,
+    M3 = (Ac+As)@(xr+xi); re = M1 - M2, im = M3 - M1 - M2 — which drops
+    the c2c middle stage of every dense-DFT transform from 4 matmuls to 3
+    (the stage is ~57% of the transform MACs, so ~14% of transform time;
+    measured at 2048²: prof_r5_3m.py). ``Asum = Ac + As`` is a host
+    constant. Rounding grows ~2x over the 4-matmul form (still f32
+    round-off class under HIGHEST; pinned by tests/test_core.py).
+    ``JRSW_DFT_3M=off`` restores the 4-matmul form.
+    """
+    if not _use_3m():
+        return (_mm2(Ac, xr, prec) - _mm2(As, xi, prec),
+                _mm2(Ac, xi, prec) + _mm2(As, xr, prec))
+    m1 = _mm2(Ac, xr, prec)
+    m2 = _mm2(As, xi, prec)
+    m3 = _mm2(Asum, xr + xi, prec)
+    return m1 - m2, m3 - m1 - m2
+
+
 def _mmk(x, A, prec):
     """Contract the last axis of (..., J, K) with (N, K) -> (..., J, N)."""
     return jnp.einsum("...jk,nk->...jn", x, A, precision=prec)
@@ -156,8 +188,7 @@ def rfft2(field: jax.Array) -> jax.Array:
         prec = _dft_precision()
         zr = _mmk(field, t["fr"], prec)
         zi = _mmk(field, t["fi"], prec)
-        wr = _mm2(t["fcos"], zr, prec) - _mm2(t["fsin"], zi, prec)
-        wi = _mm2(t["fcos"], zi, prec) + _mm2(t["fsin"], zr, prec)
+        wr, wi = _cmul2(t["fcos"], t["fsin"], t["fcs"], zr, zi, prec)
         return jax.lax.complex(wr, wi)
     return jnp.fft.rfft2(field, axes=(-2, -1))
 
@@ -172,8 +203,7 @@ def irfft2(fieldh: jax.Array, nx: int) -> jax.Array:
         t = _dft_tables(ny, nx)
         prec = _dft_precision()
         xr, xi = jnp.real(fieldh), jnp.imag(fieldh)
-        yr = _mm2(t["icos"], xr, prec) - _mm2(t["isin"], xi, prec)
-        yi = _mm2(t["icos"], xi, prec) + _mm2(t["isin"], xr, prec)
+        yr, yi = _cmul2(t["icos"], t["isin"], t["ics"], xr, xi, prec)
         return _mmk(yr, t["iar"], prec) + _mmk(yi, t["iai"], prec)
     return jnp.fft.irfft2(fieldh, s=(fieldh.shape[-2], nx), axes=(-2, -1))
 
@@ -223,8 +253,7 @@ def rfft2_dealiased(field: jax.Array, grid) -> jax.Array:
     zi = _mmk(field, t["fi"][:nkx], prec)
     fcos_k = np.concatenate([t["fcos"][:a], t["fcos"][ny - b:]], 0)
     fsin_k = np.concatenate([t["fsin"][:a], t["fsin"][ny - b:]], 0)
-    wr = _mm2(fcos_k, zr, prec) - _mm2(fsin_k, zi, prec)
-    wi = _mm2(fcos_k, zi, prec) + _mm2(fsin_k, zr, prec)
+    wr, wi = _cmul2(fcos_k, fsin_k, fcos_k + fsin_k, zr, zi, prec)
     w = jax.lax.complex(wr, wi)
     mid = jnp.zeros(w.shape[:-2] + (ny - a - b, nkx), w.dtype)
     full = jnp.concatenate([w[..., :a, :], mid, w[..., a:, :]], axis=-2)
@@ -248,8 +277,7 @@ def irfft2_dealiased(fieldh: jax.Array, grid) -> jax.Array:
     xr, xi = jnp.real(xk), jnp.imag(xk)
     icos_k = np.concatenate([t["icos"][:, :a], t["icos"][:, ny - b:]], 1)
     isin_k = np.concatenate([t["isin"][:, :a], t["isin"][:, ny - b:]], 1)
-    yr = _mm2(icos_k, xr, prec) - _mm2(isin_k, xi, prec)
-    yi = _mm2(icos_k, xi, prec) + _mm2(isin_k, xr, prec)
+    yr, yi = _cmul2(icos_k, isin_k, icos_k + isin_k, xr, xi, prec)
     return _mmk(yr, t["iar"][:, :nkx], prec) + _mmk(yi, t["iai"][:, :nkx],
                                                     prec)
 

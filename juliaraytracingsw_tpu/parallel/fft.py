@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.spectral import (_dft1_tables, _dft_precision, _dft_supported,
-                             _dft_tables, _mm2, _mmk)
+from ..core.spectral import (_cmul2, _dft1_tables, _dft_precision,
+                             _dft_supported, _dft_tables, _mmk)
 
 
 def _dense1_ok(n: int, dtype) -> bool:
@@ -62,8 +62,7 @@ def _dense_fft1_ax2(z, n: int):
     t = _dft1_tables(n)
     prec = _dft_precision()
     zr, zi = jnp.real(z), jnp.imag(z)
-    wr = _mm2(t["cos"], zr, prec) + _mm2(t["sin"], zi, prec)
-    wi = _mm2(t["cos"], zi, prec) - _mm2(t["sin"], zr, prec)
+    wr, wi = _cmul2(t["cos"], -t["sin"], t["fks"], zr, zi, prec)
     return jax.lax.complex(wr, wi)
 
 
@@ -72,8 +71,7 @@ def _dense_ifft1_ax2(z, n: int):
     t = _dft1_tables(n)
     prec = _dft_precision()
     zr, zi = jnp.real(z), jnp.imag(z)
-    yr = _mm2(t["icos"], zr, prec) - _mm2(t["isin"], zi, prec)
-    yi = _mm2(t["icos"], zi, prec) + _mm2(t["isin"], zr, prec)
+    yr, yi = _cmul2(t["icos"], t["isin"], t["iks"], zr, zi, prec)
     return jax.lax.complex(yr, yi)
 
 __all__ = ["slab_rfft2", "slab_irfft2", "slab_sharding_physical",
