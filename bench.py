@@ -246,7 +246,7 @@ def main():
     results["hero_sharded1_vs_replicated"] = sh_rays / rays_per_s
 
     # --- opt-in dft3 flow row (JRSW_FFT=dft3: BF16_X3 dense-DFT matmuls,
-    # ~1.9e-5 relative accuracy, prof_r5_flow_fft2.py) ----------------------
+    # ~2.4e-5 relative accuracy (3M-stage re-quantified round 5), prof_r5_flow_fft2.py) ----------------------
     os.environ["JRSW_FFT"] = "dft3"
     try:
         grid, model = grids[512], models[512]

@@ -20,8 +20,8 @@ FASTER at production grids (512²: 33.2 vs 47.8 µs/transform f32-exact;
 - ``fft``: always jnp.fft (the CPU/test default and the golden-run path).
 - ``dft``: force the f32-HIGHEST dense DFT.
 - ``dft3``: dense DFT with the BF16_BF16_F32_X3 dot algorithm — 2.5× the
-  XLA FFT at ~1.9e-5 relative accuracy (quantified; opt-in throughput
-  mode for production sweeps).
+  XLA FFT at ~2.4e-5 relative accuracy (quantified with the 3M stage;
+  opt-in throughput mode for production sweeps).
 
 Read at trace time; equality is pinned by tests/test_core.py.
 """
@@ -161,7 +161,8 @@ def _cmul2(Ac, As, Asum, xr, xi, prec):
     M3 = (Ac+As)@(xr+xi); re = M1 - M2, im = M3 - M1 - M2 — which drops
     the c2c middle stage of every dense-DFT transform from 4 matmuls to 3
     (the stage is ~57% of the transform MACs, so ~14% of transform time;
-    measured at 2048²: prof_r5_3m.py). ``Asum = Ac + As`` is a host
+    measured end-to-end at 512²/2048² — scripts/hw_validation.md round-5
+    "3-multiply" entry). ``Asum = Ac + As`` is a host
     constant. Rounding grows ~2x over the 4-matmul form (still f32
     round-off class under HIGHEST; pinned by tests/test_core.py).
     ``JRSW_DFT_3M=off`` restores the 4-matmul form.
