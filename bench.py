@@ -172,6 +172,14 @@ def main():
             return frame(sim._replace(packets=pk))
 
         t, sp = _timeit_unique(call, warmup=2, iters=3, trials=trials)
+        # plausibility guard: every hero frame is >=5 ms by construction
+        # (1M packets or a 1024^2 flow), so >1000 coupled steps/s means the
+        # tunnel returned without completing (seen once, round 5: hero1024
+        # read 36020 steps/s with 24% spread). Retry the measurement once.
+        if flow_steps / t > 1000.0:
+            print(f"# {tag}: implausible {flow_steps / t:.0f} coupled "
+                  f"steps/s (tunnel glitch?) — retrying", file=sys.stderr)
+            t, sp = _timeit_unique(call, warmup=2, iters=3, trials=trials)
         npackets = sqrtp * sqrtp
         rays_per_s = npackets * ray_substeps * flow_steps / t
         results[f"{tag}_coupled_steps_per_s"] = flow_steps / t
